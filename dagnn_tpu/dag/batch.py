@@ -1,0 +1,263 @@
+"""Host-side DAG containers and static-shape batch collation.
+
+Replaces the reference's PyG ``Batch.from_data_list`` + special-cased level
+index offsetting (reference: dvae/batch.py:53-66) with a single collate that
+emits fully padded, statically shaped arrays:
+
+* node/edge arrays are concatenated with cumulative offsets (same as PyG),
+* each graph keeps its own topo levels — batch level l is the union of every
+  member graph's level l, exactly what the reference's flat
+  ``_bi_layer_idx0/1`` achieve under PyG batching (src/utils_dag.py:39-52),
+* everything is padded to a ``PadConfig`` so XLA compiles once per bucket.
+
+Index conventions inside a collated ``DAGBatch`` with pads N/E/G:
+  node arrays have N+1 rows; row N is a garbage row (gathers of padding land
+  there, scatters to it are discarded by masking). Edge arrays have E+1 rows,
+  row E is the garbage edge. graph_id of padding nodes = G (an extra segment
+  that readouts drop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from dagnn_tpu.dag.topo import topo_levels, reverse_levels
+from dagnn_tpu.dag.schedule import LevelSchedule, build_level_schedule
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if m > 1 else x
+
+
+@dataclasses.dataclass
+class DAGGraph:
+    """A single DAG on the host (numpy). Nodes are 0..num_nodes-1.
+
+    ``x`` is the raw per-node feature array (float features or integer token
+    ids — the model's encoder decides). ``extras`` holds additional per-node
+    arrays (e.g. node_depth / attr ids for the AST encoder). ``y`` holds
+    per-graph targets (scalars or fixed-size arrays).
+    """
+
+    num_nodes: int
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    x: np.ndarray
+    edge_attr: Optional[np.ndarray] = None
+    extras: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    y: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    level_fwd: Optional[np.ndarray] = None
+    level_rev: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.edge_src = np.asarray(self.edge_src, dtype=np.int64).ravel()
+        self.edge_dst = np.asarray(self.edge_dst, dtype=np.int64).ravel()
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_src.shape[0])
+
+    def ensure_levels(self) -> "DAGGraph":
+        """Compute and cache forward/reverse topo levels (src/utils_dag.py:39-52)."""
+        if self.level_fwd is None:
+            self.level_fwd = topo_levels(self.edge_src, self.edge_dst, self.num_nodes)
+        if self.level_rev is None:
+            self.level_rev = reverse_levels(self.edge_src, self.edge_dst, self.num_nodes)
+        return self
+
+    @property
+    def len_longest_path(self) -> int:
+        """Longest path length (ogb/io/read_graph_pyg.py:54 equivalent)."""
+        self.ensure_levels()
+        return int(self.level_fwd.max()) if self.num_nodes else 0
+
+
+class DAGBatch(NamedTuple):
+    """A collated, padded batch of DAGs — a pure JAX pytree.
+
+    All static information is derivable from array shapes; traced scalars
+    (n_node/n_edge/n_graph) carry the true counts.
+    """
+
+    x: np.ndarray                 # [N+1, ...] node features (pad rows zero)
+    edge_attr: Optional[np.ndarray]  # [E+1, R] or None
+    graph_id: np.ndarray          # [N+1] int32, pad nodes -> G
+    node_mask: np.ndarray         # [N+1] bool (garbage row False)
+    fwd: LevelSchedule
+    rev: LevelSchedule
+    out_mask_fwd: np.ndarray      # [N+1] bool: nodes with rev-level 0 (DAG sinks)
+    out_mask_rev: np.ndarray      # [N+1] bool: nodes with fwd-level 0 (DAG sources)
+    graph_mask: np.ndarray        # [G] bool — real vs padding graphs
+    n_node: np.ndarray            # [] int32 true node count
+    n_edge: np.ndarray            # [] int32 true edge count
+    n_graph: np.ndarray           # [] int32 true graph count
+    extras: Dict[str, np.ndarray]     # per-node [N+1, ...]
+    y: Dict[str, np.ndarray]          # per-graph [G, ...]
+
+    @property
+    def num_node_slots(self) -> int:
+        return self.x.shape[0] - 1
+
+    @property
+    def num_graph_slots(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class PadConfig:
+    """Static shape targets for one compilation bucket."""
+
+    max_nodes: int
+    max_edges: int
+    max_graphs: int
+    max_levels: int
+    nodes_per_level: int
+    edges_per_level: int
+
+    @classmethod
+    def for_graphs(
+        cls,
+        graphs: Sequence[DAGGraph],
+        node_mult: int = 8,
+        edge_mult: int = 8,
+        level_mult: int = 1,
+        width_mult: int = 8,
+    ) -> "PadConfig":
+        """Exact-fit config for a batch, rounded up to hardware-friendly multiples."""
+        for g in graphs:
+            g.ensure_levels()
+        n = sum(g.num_nodes for g in graphs)
+        e = sum(g.num_edges for g in graphs)
+        levels = max(
+            max((int(g.level_fwd.max()) + 1 if g.num_nodes else 1) for g in graphs),
+            max((int(g.level_rev.max()) + 1 if g.num_nodes else 1) for g in graphs),
+        )
+        # batch level widths: sum across graphs of per-level node/edge counts
+        kn = ke = 0
+        for d in ("level_fwd", "level_rev"):
+            ncnt = np.zeros(levels, dtype=np.int64)
+            ecnt = np.zeros(levels, dtype=np.int64)
+            for g in graphs:
+                if g.num_nodes == 0:
+                    continue
+                lv = getattr(g, d)
+                ncnt[: int(lv.max()) + 1] += np.bincount(lv)
+                tgt = g.edge_dst if d == "level_fwd" else g.edge_src
+                if g.num_edges:
+                    elv = lv[tgt]
+                    ecnt[: int(elv.max()) + 1] += np.bincount(elv)
+            kn = max(kn, int(ncnt.max(initial=0)))
+            ke = max(ke, int(ecnt.max(initial=0)))
+        return cls(
+            max_nodes=_round_up(max(n, 1), node_mult),
+            max_edges=_round_up(max(e, 1), edge_mult),
+            max_graphs=len(graphs),
+            max_levels=_round_up(max(levels, 1), level_mult),
+            nodes_per_level=_round_up(max(kn, 1), width_mult),
+            edges_per_level=_round_up(max(ke, 1), width_mult),
+        )
+
+
+def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None) -> DAGBatch:
+    """Collate a list of DAGGraphs into one padded DAGBatch.
+
+    Mirrors PyG batching with cumulative node offsets plus the reference's
+    level-aware index handling (dvae/batch.py:53-66), but emits static shapes.
+    """
+    if pad is None:
+        pad = PadConfig.for_graphs(graphs)
+    G = pad.max_graphs
+    if len(graphs) > G:
+        raise ValueError(f"{len(graphs)} graphs > max_graphs={G}")
+    for g in graphs:
+        g.ensure_levels()
+
+    n = sum(g.num_nodes for g in graphs)
+    e = sum(g.num_edges for g in graphs)
+    if n > pad.max_nodes or e > pad.max_edges:
+        raise ValueError(
+            f"batch ({n} nodes, {e} edges) exceeds pad ({pad.max_nodes}, {pad.max_edges})"
+        )
+    N, E = pad.max_nodes, pad.max_edges
+
+    # --- concatenate nodes/edges with offsets ---
+    offsets = np.zeros(len(graphs) + 1, dtype=np.int64)
+    np.cumsum([g.num_nodes for g in graphs], out=offsets[1:])
+    src = np.concatenate([g.edge_src + o for g, o in zip(graphs, offsets)]) if e else np.zeros(0, np.int64)
+    dst = np.concatenate([g.edge_dst + o for g, o in zip(graphs, offsets)]) if e else np.zeros(0, np.int64)
+    lvl_f = np.concatenate([g.level_fwd for g in graphs]) if n else np.zeros(0, np.int64)
+    lvl_r = np.concatenate([g.level_rev for g in graphs]) if n else np.zeros(0, np.int64)
+
+    x0 = np.concatenate([np.asarray(g.x) for g in graphs], axis=0)
+    x = np.zeros((N + 1,) + x0.shape[1:], dtype=x0.dtype)
+    x[:n] = x0
+
+    edge_attr = None
+    if graphs and graphs[0].edge_attr is not None:
+        ea0 = np.concatenate([np.asarray(g.edge_attr) for g in graphs], axis=0)
+        edge_attr = np.zeros((E + 1,) + ea0.shape[1:], dtype=ea0.dtype)
+        edge_attr[:e] = ea0
+
+    graph_id = np.full(N + 1, G, dtype=np.int32)
+    for i, g in enumerate(graphs):
+        graph_id[offsets[i]: offsets[i + 1]] = i
+    node_mask = np.zeros(N + 1, dtype=bool)
+    node_mask[:n] = True
+
+    # --- schedules over the batched edge set (pad ids -> N / E) ---
+    common = dict(
+        n_pad=N, e_pad=E,
+        max_levels=pad.max_levels,
+        nodes_per_level=pad.nodes_per_level,
+        edges_per_level=pad.edges_per_level,
+    )
+    fwd = build_level_schedule(src, dst, _padded_levels(lvl_f, n), n, **common)
+    rev = build_level_schedule(dst, src, _padded_levels(lvl_r, n), n, **common)
+
+    out_mask_fwd = np.zeros(N + 1, dtype=bool)
+    out_mask_fwd[:n] = lvl_r == 0     # reference _get_output_nodes: rev-level 0
+    out_mask_rev = np.zeros(N + 1, dtype=bool)
+    out_mask_rev[:n] = lvl_f == 0     # reverse readout uses fwd-level 0
+
+    graph_mask = np.zeros(G, dtype=bool)
+    graph_mask[: len(graphs)] = True
+
+    extras: Dict[str, np.ndarray] = {}
+    if graphs and graphs[0].extras:
+        for k in graphs[0].extras:
+            v0 = np.concatenate([np.asarray(g.extras[k]) for g in graphs], axis=0)
+            v = np.zeros((N + 1,) + v0.shape[1:], dtype=v0.dtype)
+            v[:n] = v0
+            extras[k] = v
+
+    y: Dict[str, np.ndarray] = {}
+    if graphs and graphs[0].y:
+        for k in graphs[0].y:
+            v0 = np.stack([np.asarray(g.y[k]) for g in graphs], axis=0)
+            v = np.zeros((G,) + v0.shape[1:], dtype=v0.dtype)
+            v[: len(graphs)] = v0
+            y[k] = v
+
+    return DAGBatch(
+        x=x,
+        edge_attr=edge_attr,
+        graph_id=graph_id,
+        node_mask=node_mask,
+        fwd=fwd,
+        rev=rev,
+        out_mask_fwd=out_mask_fwd,
+        out_mask_rev=out_mask_rev,
+        graph_mask=graph_mask,
+        n_node=np.asarray(n, dtype=np.int32),
+        n_edge=np.asarray(e, dtype=np.int32),
+        n_graph=np.asarray(len(graphs), dtype=np.int32),
+        extras=extras,
+        y=y,
+    )
+
+
+def _padded_levels(levels: np.ndarray, n: int) -> np.ndarray:
+    return levels[:n]

@@ -1,0 +1,158 @@
+"""Level schedules: the static-shape wavefront execution plan for batched DAGs.
+
+The reference model re-derives, per forward pass and per topo level, the node
+set of the level by boolean masking and the incoming-edge subset by an
+O(|level| * E) Python loop (reference: ogbg-code/model/dagnn.py:146-157).
+Here that work is done ONCE at preprocessing time, producing dense,
+statically-shaped arrays that a `lax.scan` consumes directly on TPU:
+
+  node_ids  [L, Kn]  global node id of every node in each level (pad = n_pad)
+  edge_src  [L, Ke]  message-source node id of every edge whose target is in
+                     the level (pad = n_pad, which indexes a garbage row)
+  edge_dst  [L, Ke]  LOCAL slot (column of node_ids) of the edge's target
+                     within its level (pad = Kn) — segment ops per level then
+                     run over [0, Kn] segments instead of all N nodes
+  edge_id   [L, Ke]  original edge index, to gather per-edge attributes
+                     (pad = e_pad)
+
+plus boolean masks.  A reverse-direction schedule is the same structure built
+from the reversed edge set (reference: src/utils_dag.py:42-43).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class LevelSchedule(NamedTuple):
+    """Wavefront plan for one direction of a (batched) DAG. All numpy/jnp.
+
+    Shapes: L = padded level count, Kn = padded max nodes/level,
+    Ke = padded max edges/level.
+    """
+
+    node_ids: np.ndarray   # [L, Kn] int32
+    node_mask: np.ndarray  # [L, Kn] bool
+    edge_src: np.ndarray   # [L, Ke] int32
+    edge_dst: np.ndarray   # [L, Ke] int32 (local slot in [0, Kn], pad = Kn)
+    edge_id: np.ndarray    # [L, Ke] int32
+    edge_mask: np.ndarray  # [L, Ke] bool
+    num_levels: np.ndarray  # [] int32 — true level count (<= L)
+
+    @property
+    def max_levels(self) -> int:
+        return self.node_ids.shape[0]
+
+    @property
+    def nodes_per_level(self) -> int:
+        return self.node_ids.shape[1]
+
+    @property
+    def edges_per_level(self) -> int:
+        return self.edge_src.shape[1]
+
+
+def build_level_schedule(
+    msg_src: np.ndarray,
+    msg_dst: np.ndarray,
+    level: np.ndarray,
+    num_nodes: int,
+    edge_id: Optional[np.ndarray] = None,
+    n_pad: Optional[int] = None,
+    e_pad: Optional[int] = None,
+    max_levels: Optional[int] = None,
+    nodes_per_level: Optional[int] = None,
+    edges_per_level: Optional[int] = None,
+) -> LevelSchedule:
+    """Build the dense wavefront schedule for one direction.
+
+    Args:
+        msg_src: [E] message-source node of each edge (the predecessor whose
+            state is aggregated). For the forward direction this is the edge
+            source; for the reverse direction, the edge destination.
+        msg_dst: [E] message-target node of each edge.
+        level: [num_nodes] topo level of each node in THIS direction
+            (level of msg_dst strictly greater than level of msg_src).
+        num_nodes: real node count.
+        edge_id: [E] original edge indices (defaults to arange).
+        n_pad: padding node id (defaults to num_nodes — callers should ensure
+            node arrays have a garbage row at this index).
+        e_pad: padding edge id (defaults to E).
+        max_levels / nodes_per_level / edges_per_level: static shape targets;
+            defaults to the exact maxima of this graph.
+    """
+    msg_src = np.asarray(msg_src, dtype=np.int64).ravel()
+    msg_dst = np.asarray(msg_dst, dtype=np.int64).ravel()
+    level = np.asarray(level, dtype=np.int64).ravel()
+    E = msg_src.shape[0]
+    if edge_id is None:
+        edge_id = np.arange(E, dtype=np.int64)
+    if n_pad is None:
+        n_pad = num_nodes
+    if e_pad is None:
+        e_pad = E
+
+    num_levels = int(level.max()) + 1 if num_nodes > 0 else 0
+
+    # --- nodes: sort by (level, node id); slot = rank within level ---
+    node_order = np.lexsort((np.arange(num_nodes), level))
+    sorted_levels = level[node_order]
+    lvl_counts = np.bincount(sorted_levels, minlength=num_levels)
+    kn = int(lvl_counts.max()) if num_levels > 0 else 0
+    lvl_starts = np.zeros(num_levels + 1, dtype=np.int64)
+    np.cumsum(lvl_counts, out=lvl_starts[1:])
+    # local slot of each node within its level
+    slot_sorted = np.arange(num_nodes) - lvl_starts[sorted_levels]
+    node_slot = np.empty(num_nodes, dtype=np.int64)
+    node_slot[node_order] = slot_sorted
+
+    # --- edges: group by level of message target ---
+    elevel = level[msg_dst] if E > 0 else np.zeros(0, dtype=np.int64)
+    if E > 0 and (level[msg_src] >= elevel).any():
+        raise ValueError("edge from level >= target level: invalid schedule input")
+    edge_order = np.lexsort((edge_id, elevel))
+    e_sorted_lvl = elevel[edge_order]
+    elvl_counts = np.bincount(e_sorted_lvl, minlength=max(num_levels, 1))
+    ke = int(elvl_counts.max()) if E > 0 else 0
+    elvl_starts = np.zeros(max(num_levels, 1) + 1, dtype=np.int64)
+    np.cumsum(elvl_counts, out=elvl_starts[1:])
+    e_slot = np.arange(E) - elvl_starts[e_sorted_lvl] if E > 0 else np.zeros(0, dtype=np.int64)
+
+    # --- resolve static shapes ---
+    L = max_levels if max_levels is not None else num_levels
+    Kn = nodes_per_level if nodes_per_level is not None else kn
+    Ke = edges_per_level if edges_per_level is not None else ke
+    if num_levels > L:
+        raise ValueError(f"graph has {num_levels} levels > max_levels={L}")
+    if kn > Kn:
+        raise ValueError(f"level width {kn} > nodes_per_level={Kn}")
+    if ke > Ke:
+        raise ValueError(f"level edge width {ke} > edges_per_level={Ke}")
+
+    node_ids = np.full((L, Kn), n_pad, dtype=np.int32)
+    node_mask = np.zeros((L, Kn), dtype=bool)
+    if num_nodes > 0:
+        node_ids[sorted_levels, slot_sorted] = node_order
+        node_mask[sorted_levels, slot_sorted] = True
+
+    edge_src = np.full((L, Ke), n_pad, dtype=np.int32)
+    edge_dst = np.full((L, Ke), Kn, dtype=np.int32)
+    edge_id_arr = np.full((L, Ke), e_pad, dtype=np.int32)
+    edge_mask = np.zeros((L, Ke), dtype=bool)
+    if E > 0:
+        edge_src[e_sorted_lvl, e_slot] = msg_src[edge_order]
+        edge_dst[e_sorted_lvl, e_slot] = node_slot[msg_dst[edge_order]]
+        edge_id_arr[e_sorted_lvl, e_slot] = edge_id[edge_order]
+        edge_mask[e_sorted_lvl, e_slot] = True
+
+    return LevelSchedule(
+        node_ids=node_ids,
+        node_mask=node_mask,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_id=edge_id_arr,
+        edge_mask=edge_mask,
+        num_levels=np.asarray(num_levels, dtype=np.int32),
+    )
