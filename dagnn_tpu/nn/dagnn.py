@@ -1,0 +1,302 @@
+"""Canonical DAGNN: level-synchronous wavefront execution as a lax.scan.
+
+Re-designs the reference model (reference: ogbg-code/model/dagnn.py:18-215)
+TPU-first: instead of per-level Python masking and O(|level|*E) edge
+selection (dagnn.py:146-157), the forward is a single `lax.scan` over the
+precomputed LevelSchedule — per step it gathers predecessor states, runs the
+edge-attention aggregate (SDDMM + segment softmax + SpMM over level-local
+slots), applies the GRU stack, and scatters updated states. Bidirectional
+passes reuse the same scan with the reverse schedule.
+
+Config mirrors the reference flag surface one-to-one
+(dagnn.py:18-21): num_vocab, max_seq_len, emb/hidden dims, num_rels,
+w_edge_attr, num_layers, bidirectional, mapper_bias, agg_x, agg, out_wx,
+out_pool_all, out_pool, dropout, num_class, recurr.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dagnn_tpu.dag.batch import DAGBatch
+from dagnn_tpu.nn.aggregators import (
+    AggregatorSpec,
+    aggregator_init,
+    aggregate_level,
+    encode_edges,
+)
+from dagnn_tpu.nn.encoders import EncoderSpec, encoder_init, encode
+from dagnn_tpu.nn.readout import pool_nodes
+from dagnn_tpu.ops.gru import gru_cell, gru_init
+from dagnn_tpu.ops.linear import linear, linear_init
+
+# aggregator names (reference src/constants.py:12-19)
+NA_SUM = "add"
+NA_MAX = "max"
+NA_GATED_SUM = "gated_sum"
+NA_SELF_ATTN_X = "self_attn_x"
+NA_SELF_ATTN_H = "self_attn_h"
+NA_ATTN_X = "attn_x"
+NA_ATTN_H = "attn_h"
+NA_MATTN_H = "mattn_h"
+
+P_MEAN, P_ADD, P_SUM, P_MAX, P_ATTN = "mean", "add", "sum", "max", "attn"
+
+
+@dataclasses.dataclass(frozen=True)
+class DAGNNConfig:
+    num_vocab: int = 0
+    max_seq_len: int = 5
+    emb_dim: int = 300
+    hidden_dim: int = 300
+    out_dim: int = 0
+    num_rels: int = 2
+    w_edge_attr: bool = True
+    num_layers: int = 2
+    bidirectional: bool = True
+    mapper_bias: bool = True
+    agg_x: bool = False
+    agg: str = NA_ATTN_H
+    out_wx: bool = True
+    out_pool_all: bool = True
+    out_pool: str = P_MAX
+    dropout: float = 0.0
+    num_class: int = 0
+    recurr: bool = True
+    encoder: EncoderSpec = EncoderSpec()
+
+    def __post_init__(self):
+        if self.agg_x and self.hidden_dim < self.emb_dim:
+            # reference dagnn.py:27-28
+            raise ValueError("hidden dimension too small for input (agg_x)")
+        if self.agg_x and self.agg_attn and not self.agg_attn_x:
+            # *_h attention keys are hidden-dim but agg_x aggregates x:
+            # the reference would crash on this combination (dagnn.py:159-163
+            # passes h_attn=G.x into convs sized for hidden_dim)
+            raise ValueError("agg_x requires an *_x attention or sum aggregator")
+
+    # --- derived ---
+    @property
+    def dirs(self) -> Tuple[int, ...]:
+        return (0, 1) if self.bidirectional else (0,)
+
+    @property
+    def agg_attn(self) -> bool:
+        return "attn" in self.agg
+
+    @property
+    def agg_attn_x(self) -> bool:
+        return "_x" in self.agg
+
+    @property
+    def out_hidden_dim(self) -> int:
+        """Readout width.
+
+        Note: the reference sizes this as emb*dirs + hidden*dirs*layers
+        whenever out_wx (dagnn.py:44), but its pooled-all concat includes x
+        only ONCE (dagnn.py:195) — the combination bidirectional+out_pool_all
+        +out_wx would crash there (and is unreachable: driver defaults are
+        out_wx=0, out_pool_all=0, main_pyg.py:161-162). We size heads to the
+        actual concatenation: x appears per-direction only in the
+        per-direction readout branch.
+        """
+        d = len(self.dirs)
+        core = self.hidden_dim * d * self.num_layers
+        if not self.out_wx:
+            return core
+        x_copies = d if (self.bidirectional and not self.out_pool_all) else 1
+        return self.emb_dim * x_copies + core
+
+    @property
+    def effective_num_rels(self) -> int:
+        # reference dagnn.py:53 drops the edge encoder when w_edge_attr=False
+        return self.num_rels if self.w_edge_attr else 1
+
+    def aggregator_spec(self, layer: int) -> AggregatorSpec:
+        """Spec for the aggregator at GRU-stack position `layer`
+        (mirrors the instantiation switch at dagnn.py:56-75)."""
+        pred_dim = self.emb_dim if self.agg_x else self.hidden_dim
+        attn_dim = self.emb_dim if self.agg_attn_x else self.hidden_dim
+        nr = self.effective_num_rels
+        if "self_attn" in self.agg:
+            return AggregatorSpec("self_attn", value_dim=pred_dim, key_dim=attn_dim, num_rels=nr)
+        if "mattn" in self.agg:
+            qd = self.emb_dim if layer == 0 else attn_dim
+            return AggregatorSpec("mattn", value_dim=pred_dim, key_dim=attn_dim, query_dim=qd, num_rels=nr)
+        if "attn" in self.agg:
+            qd = self.emb_dim if layer == 0 else attn_dim
+            return AggregatorSpec("attn", value_dim=pred_dim, key_dim=attn_dim, query_dim=qd, num_rels=nr)
+        if self.agg == NA_GATED_SUM:
+            return AggregatorSpec("gated_sum", value_dim=pred_dim, num_rels=nr, mapper_bias=self.mapper_bias)
+        return AggregatorSpec(self.agg, value_dim=pred_dim, num_rels=nr)
+
+    @property
+    def shared_aggregator(self) -> bool:
+        # plain add/max share ONE conv across layers and directions (dagnn.py:74-75)
+        return self.agg in (NA_SUM, NA_MAX)
+
+
+def dagnn_init(key, cfg: DAGNNConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 256))
+    p: Dict[str, Any] = {"encoder": encoder_init(next(keys), cfg.encoder, dtype)}
+
+    if cfg.shared_aggregator:
+        shared = aggregator_init(next(keys), cfg.aggregator_spec(0), dtype)
+        p["aggr"] = [[shared for _ in range(cfg.num_layers)] for _ in cfg.dirs]
+    else:
+        p["aggr"] = [
+            [aggregator_init(next(keys), cfg.aggregator_spec(l), dtype)
+             for l in range(cfg.num_layers)]
+            for _ in cfg.dirs
+        ]
+
+    cells = []
+    for _ in cfg.dirs:
+        row = []
+        for l in range(cfg.num_layers):
+            in_dim = cfg.emb_dim if l == 0 else cfg.hidden_dim
+            if cfg.recurr:
+                row.append(gru_init(next(keys), in_dim, cfg.hidden_dim, dtype))
+            else:
+                row.append(linear_init(next(keys), in_dim + cfg.hidden_dim, cfg.hidden_dim, dtype=dtype))
+        cells.append(row)
+    p["cells"] = cells
+
+    if cfg.out_pool == P_ATTN:
+        d = cfg.out_hidden_dim // 2 if (cfg.bidirectional and not cfg.out_pool_all) else cfg.out_hidden_dim
+        p["pool_attn"] = linear_init(next(keys), d, 1, dtype=dtype)
+
+    if cfg.num_class > 0:
+        p["head"] = linear_init(next(keys), cfg.out_hidden_dim, cfg.num_class, dtype=dtype)
+    elif cfg.num_vocab == 1:
+        p["head"] = linear_init(next(keys), cfg.out_hidden_dim, 1, dtype=dtype)
+    else:
+        hw, hb = [], []
+        for _ in range(cfg.max_seq_len):
+            h = linear_init(next(keys), cfg.out_hidden_dim, cfg.num_vocab, dtype=dtype)
+            hw.append(h["w"]); hb.append(h["b"])
+        p["head"] = {"w": jnp.stack(hw), "b": jnp.stack(hb)}  # [S, V, D], [S, V]
+    return p
+
+
+def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
+    """Run the wavefront scan for one direction. Returns h [num_layers, N+1, H]."""
+    n1 = x.shape[0]
+    kn = sched.node_ids.shape[1]
+    if edge_attr is not None:
+        edge_attr = jnp.asarray(edge_attr)
+    h0 = jnp.zeros((cfg.num_layers, n1, cfg.hidden_dim), x.dtype)
+    specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
+
+    def step(h, xs):
+        node_ids, node_mask, edge_src, edge_dst, edge_id, edge_mask = xs
+        inp0 = x[node_ids]  # [Kn, emb]
+        ea = None
+        if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
+            ea = edge_attr[edge_id].astype(x.dtype)
+
+        ps_common = None
+        if cfg.agg_x:
+            spec0, ap0 = specs[0], params_dir["aggr"][0]
+            kw = {}
+            if cfg.agg_attn:
+                kw = dict(key_src=x[edge_src], query=inp0)
+            ps = aggregate_level(
+                ap0, spec0, x[edge_src], edge_dst, edge_mask, kn + 1,
+                edge_emb=encode_edges(ap0, spec0, ea), **kw,
+            )[:kn]
+            if ps.shape[-1] < cfg.hidden_dim:  # zero-pad emb -> hidden (dagnn.py:165-167)
+                ps = jnp.pad(ps, ((0, 0), (0, cfg.hidden_dim - ps.shape[-1])))
+            ps_common = ps
+
+        cur = inp0
+        prev_out = None
+        for i in range(cfg.num_layers):
+            if cfg.agg_x:
+                ps_h = ps_common
+            else:
+                spec, ap = specs[i], params_dir["aggr"][i]
+                val = h[i][edge_src]  # [Ke, H]
+                kw = {}
+                if cfg.agg_attn:
+                    if cfg.agg_attn_x:
+                        kw = dict(key_src=x[edge_src], query=inp0)
+                    else:
+                        q = prev_out if i > 0 else inp0  # h[d][i-1] at level == prev layer out
+                        kw = dict(key_src=val, query=q)
+                ps_h = aggregate_level(
+                    ap, spec, val, edge_dst, edge_mask, kn + 1,
+                    edge_emb=encode_edges(ap, spec, ea), **kw,
+                )[:kn]
+
+            if cfg.recurr:
+                out = gru_cell(params_dir["cells"][i], cur, ps_h)
+            else:
+                out = linear(params_dir["cells"][i], jnp.concatenate([cur, ps_h], axis=-1))
+            h = h.at[i, node_ids].add(jnp.where(node_mask[:, None], out, 0))
+            prev_out = out
+            cur = out
+        return h, None
+
+    xs = (sched.node_ids, sched.node_mask, sched.edge_src,
+          sched.edge_dst, sched.edge_id, sched.edge_mask)
+    h, _ = jax.lax.scan(step, h0, xs)
+    return h
+
+
+def dagnn_forward(
+    params,
+    cfg: DAGNNConfig,
+    batch: DAGBatch,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+):
+    """Full forward pass. Returns per-position token logits [G, S, V],
+    class logits [G, C], or regression [G, 1] per config (dagnn.py:209-215).
+    """
+    x = encode(params["encoder"], cfg.encoder, batch.x,
+               batch.extras.get("node_depth"))
+    # keep the garbage row exactly zero so pad gathers are inert
+    x = jnp.where(batch.node_mask[:, None], x, 0)
+
+    num_graphs = batch.num_graph_slots
+    h_dirs = []
+    for di, d in enumerate(cfg.dirs):
+        pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
+        sched = batch.fwd if d == 0 else batch.rev
+        h_dirs.append(_direction_pass(pdir, cfg, x, batch.edge_attr, sched))
+
+    pool_kw = dict(
+        kind=cfg.out_pool,
+        attn_params=params.get("pool_attn"),
+    )
+    if cfg.bidirectional and not cfg.out_pool_all:
+        # per-direction readout over that direction's final nodes (dagnn.py:184-193)
+        parts = []
+        for di, m in enumerate([batch.out_mask_fwd, batch.out_mask_rev]):
+            layers = [h_dirs[di][l] for l in range(cfg.num_layers)]
+            hcat = jnp.concatenate(([x] if cfg.out_wx else []) + layers, axis=-1)
+            parts.append(pool_nodes(hcat, batch.graph_id, num_graphs,
+                                    mask=m & batch.node_mask, **pool_kw))
+        out = jnp.concatenate(parts, axis=-1)
+    else:
+        layers = [h_dirs[di][l] for di in range(len(cfg.dirs)) for l in range(cfg.num_layers)]
+        hcat = jnp.concatenate(([x] if cfg.out_wx else []) + layers, axis=-1)
+        mask = batch.node_mask if cfg.out_pool_all else (batch.out_mask_fwd & batch.node_mask)
+        out = pool_nodes(hcat, batch.graph_id, num_graphs, mask=mask, **pool_kw)
+
+    if train and cfg.dropout > 0.0:
+        keep = 1.0 - cfg.dropout
+        out = out * jax.random.bernoulli(rng, keep, out.shape) / keep
+
+    head = params["head"]
+    if cfg.num_class > 0:
+        return linear(head, out)
+    if cfg.num_vocab == 1:
+        return jax.nn.relu(linear(head, out))
+    # [G, D] x [S, V, D] -> [G, S, V]
+    return jnp.einsum("gd,svd->gsv", out, head["w"]) + head["b"][None]
