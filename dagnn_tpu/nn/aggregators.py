@@ -59,6 +59,11 @@ class AggregatorSpec:
     query_dim: int = 0
     num_rels: int = 1
     mapper_bias: bool = True
+    out_dim: int = 0  # gated_sum output dim; 0 -> value_dim (square, canonical)
+
+    @property
+    def gated_out_dim(self) -> int:
+        return self.out_dim or self.value_dim
 
     @property
     def wea(self) -> bool:
@@ -76,9 +81,9 @@ def aggregator_init(key, spec: AggregatorSpec, dtype=jnp.float32):
     if spec.wea:
         p["edge_encoder"] = linear_init(ks[0], spec.num_rels, spec.edge_emb_dim, dtype=dtype)
     if spec.kind == "gated_sum":
-        p["gate"] = linear_init(ks[1], spec.value_dim, spec.value_dim, dtype=dtype)
+        p["gate"] = linear_init(ks[1], spec.value_dim, spec.gated_out_dim, dtype=dtype)
         p["mapper"] = linear_init(
-            ks[2], spec.value_dim, spec.value_dim, bias=spec.mapper_bias, dtype=dtype
+            ks[2], spec.value_dim, spec.gated_out_dim, bias=spec.mapper_bias, dtype=dtype
         )
     elif spec.kind == "self_attn":
         p["attn_lin"] = linear_init(ks[1], spec.key_dim, 1, dtype=dtype)

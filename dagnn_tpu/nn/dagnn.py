@@ -68,6 +68,11 @@ class DAGNNConfig:
     num_class: int = 0
     recurr: bool = True
     encoder: EncoderSpec = EncoderSpec()
+    # D-VAE coupling: when > 0, a one-hot vertex id (global node index mod
+    # vid_dim — all graphs share a fixed size) is appended to hidden states
+    # before aggregation: to gated-sum values and to *_h attention keys and
+    # queries (reference dvae/dagnn.py:129-137). 0 disables (canonical OGB).
+    vid_dim: int = 0
 
     def __post_init__(self):
         if self.agg_x and self.hidden_dim < self.emb_dim:
@@ -118,9 +123,14 @@ class DAGNNConfig:
 
     def aggregator_spec(self, layer: int) -> AggregatorSpec:
         """Spec for the aggregator at GRU-stack position `layer`
-        (mirrors the instantiation switch at dagnn.py:56-75)."""
+        (mirrors the instantiation switch at dagnn.py:56-75; with vid_dim>0
+        the D-VAE dims of dvae/dagnn.py:46-60 apply: vids extend gated-sum
+        values and *_h attention keys/queries, never the aggregated values).
+        """
+        vd = self.vid_dim
         pred_dim = self.emb_dim if self.agg_x else self.hidden_dim
-        attn_dim = self.emb_dim if self.agg_attn_x else self.hidden_dim
+        attn_dim = (self.emb_dim if self.agg_attn_x
+                    else self.hidden_dim + vd)
         nr = self.effective_num_rels
         if "self_attn" in self.agg:
             return AggregatorSpec("self_attn", value_dim=pred_dim, key_dim=attn_dim, num_rels=nr)
@@ -131,7 +141,9 @@ class DAGNNConfig:
             qd = self.emb_dim if layer == 0 else attn_dim
             return AggregatorSpec("attn", value_dim=pred_dim, key_dim=attn_dim, query_dim=qd, num_rels=nr)
         if self.agg == NA_GATED_SUM:
-            return AggregatorSpec("gated_sum", value_dim=pred_dim, num_rels=nr, mapper_bias=self.mapper_bias)
+            return AggregatorSpec("gated_sum", value_dim=pred_dim + vd, num_rels=nr,
+                                  mapper_bias=self.mapper_bias,
+                                  out_dim=self.hidden_dim if vd else 0)
         return AggregatorSpec(self.agg, value_dim=pred_dim, num_rels=nr)
 
     @property
@@ -192,6 +204,13 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
     h0 = jnp.zeros((cfg.num_layers, n1, cfg.hidden_dim), x.dtype)
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
 
+    vids_all = None
+    if cfg.vid_dim > 0:
+        # one-hot vertex id within the (fixed-size) graph: global index mod
+        # vid_dim (reference dvae/dagnn.py:130-134)
+        vids_all = jax.nn.one_hot(jnp.arange(n1) % cfg.vid_dim, cfg.vid_dim,
+                                  dtype=x.dtype)
+
     def step(h, xs):
         node_ids, node_mask, edge_src, edge_dst, edge_id, edge_mask = xs
         inp0 = x[node_ids]  # [Kn, emb]
@@ -221,15 +240,24 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
             else:
                 spec, ap = specs[i], params_dir["aggr"][i]
                 val = h[i][edge_src]  # [Ke, H]
+                v_src = None
+                if vids_all is not None:
+                    v_src = vids_all[edge_src]
+                agg_val = val
+                if vids_all is not None and spec.kind == "gated_sum":
+                    agg_val = jnp.concatenate([val, v_src], axis=-1)
                 kw = {}
                 if cfg.agg_attn:
                     if cfg.agg_attn_x:
                         kw = dict(key_src=x[edge_src], query=inp0)
                     else:
+                        key = val if vids_all is None else jnp.concatenate([val, v_src], -1)
                         q = prev_out if i > 0 else inp0  # h[d][i-1] at level == prev layer out
-                        kw = dict(key_src=val, query=q)
+                        if i > 0 and vids_all is not None:
+                            q = jnp.concatenate([q, vids_all[node_ids]], -1)
+                        kw = dict(key_src=key, query=q)
                 ps_h = aggregate_level(
-                    ap, spec, val, edge_dst, edge_mask, kn + 1,
+                    ap, spec, agg_val, edge_dst, edge_mask, kn + 1,
                     edge_emb=encode_edges(ap, spec, ea), **kw,
                 )[:kn]
 
@@ -248,6 +276,24 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
     return h
 
 
+def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
+    """Run encoder + both direction passes; return (x, h_dirs) where
+    h_dirs[d] is [num_layers, N+1, H]. The seam the VAE encoder builds its
+    own readout on (reference dvae/dagnn.py:147-170 readouts differ from the
+    canonical ones)."""
+    x = encode(params["encoder"], cfg.encoder, batch.x,
+               batch.extras.get("node_depth"))
+    # keep the garbage row exactly zero so pad gathers are inert
+    x = jnp.where(batch.node_mask[:, None], x, 0)
+
+    h_dirs = []
+    for di, d in enumerate(cfg.dirs):
+        pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
+        sched = batch.fwd if d == 0 else batch.rev
+        h_dirs.append(_direction_pass(pdir, cfg, x, batch.edge_attr, sched))
+    return x, h_dirs
+
+
 def dagnn_forward(
     params,
     cfg: DAGNNConfig,
@@ -258,17 +304,8 @@ def dagnn_forward(
     """Full forward pass. Returns per-position token logits [G, S, V],
     class logits [G, C], or regression [G, 1] per config (dagnn.py:209-215).
     """
-    x = encode(params["encoder"], cfg.encoder, batch.x,
-               batch.extras.get("node_depth"))
-    # keep the garbage row exactly zero so pad gathers are inert
-    x = jnp.where(batch.node_mask[:, None], x, 0)
-
+    x, h_dirs = dagnn_node_states(params, cfg, batch)
     num_graphs = batch.num_graph_slots
-    h_dirs = []
-    for di, d in enumerate(cfg.dirs):
-        pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
-        sched = batch.fwd if d == 0 else batch.rev
-        h_dirs.append(_direction_pass(pdir, cfg, x, batch.edge_attr, sched))
 
     pool_kw = dict(
         kind=cfg.out_pool,
