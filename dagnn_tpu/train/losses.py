@@ -1,0 +1,28 @@
+"""Training losses for the OGB drivers.
+
+tok: per-position cross entropy averaged over the sequence positions
+(reference: ogbg-code/main_pyg.py:55-60 — one CE per position, summed, / S).
+class: single softmax CE (main_pyg_lp.py:56-60).
+Padded graph slots are masked out; the mean is over real graphs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def tok_loss(logits: jnp.ndarray, y_arr: jnp.ndarray, graph_mask: jnp.ndarray):
+    """logits [G, S, V]; y_arr [G, S] int targets; graph_mask [G]."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y_arr)  # [G, S]
+    per_graph = ce.mean(axis=-1)
+    m = graph_mask.astype(logits.dtype)
+    return (per_graph * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def class_loss(logits: jnp.ndarray, y: jnp.ndarray, graph_mask: jnp.ndarray):
+    """logits [G, C]; y [G] int; graph_mask [G]."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    m = graph_mask.astype(logits.dtype)
+    return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
