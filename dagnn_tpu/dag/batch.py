@@ -125,38 +125,46 @@ class PadConfig:
         edge_mult: int = 8,
         level_mult: int = 1,
         width_mult: int = 8,
+        chunk_size: Optional[int] = None,
     ) -> "PadConfig":
-        """Exact-fit config for a batch, rounded up to hardware-friendly multiples."""
+        """Exact-fit config for a batch, rounded to hardware-friendly
+        multiples.
+
+        chunk_size caps the scan-row width: levels wider than it are split
+        across rows (see dag/schedule.py), drastically cutting padding
+        compute for skewed width profiles. None keeps one row per level.
+        """
+        from dagnn_tpu.dag.schedule import build_level_schedule
+
         for g in graphs:
             g.ensure_levels()
         n = sum(g.num_nodes for g in graphs)
         e = sum(g.num_edges for g in graphs)
-        levels = max(
-            max((int(g.level_fwd.max()) + 1 if g.num_nodes else 1) for g in graphs),
-            max((int(g.level_rev.max()) + 1 if g.num_nodes else 1) for g in graphs),
-        )
-        # batch level widths: sum across graphs of per-level node/edge counts
-        kn = ke = 0
-        for d in ("level_fwd", "level_rev"):
-            ncnt = np.zeros(levels, dtype=np.int64)
-            ecnt = np.zeros(levels, dtype=np.int64)
-            for g in graphs:
-                if g.num_nodes == 0:
-                    continue
-                lv = getattr(g, d)
-                ncnt[: int(lv.max()) + 1] += np.bincount(lv)
-                tgt = g.edge_dst if d == "level_fwd" else g.edge_src
-                if g.num_edges:
-                    elv = lv[tgt]
-                    ecnt[: int(elv.max()) + 1] += np.bincount(elv)
-            kn = max(kn, int(ncnt.max(initial=0)))
-            ke = max(ke, int(ecnt.max(initial=0)))
+
+        # measure exact row/width stats on the concatenated batch
+        offsets = np.zeros(len(graphs) + 1, dtype=np.int64)
+        np.cumsum([g.num_nodes for g in graphs], out=offsets[1:])
+        src = (np.concatenate([g.edge_src + o for g, o in zip(graphs, offsets)])
+               if e else np.zeros(0, np.int64))
+        dst = (np.concatenate([g.edge_dst + o for g, o in zip(graphs, offsets)])
+               if e else np.zeros(0, np.int64))
+        lvl_f = (np.concatenate([g.level_fwd for g in graphs]) if n
+                 else np.zeros(0, np.int64))
+        lvl_r = (np.concatenate([g.level_rev for g in graphs]) if n
+                 else np.zeros(0, np.int64))
+
+        rows = kn = ke = 0
+        for ms, md, lv in ((src, dst, lvl_f), (dst, src, lvl_r)):
+            s = build_level_schedule(ms, md, lv, n, nodes_per_level=chunk_size)
+            rows = max(rows, int(s.num_levels))
+            kn = max(kn, s.nodes_per_level)
+            ke = max(ke, s.edges_per_level)
         return cls(
             max_nodes=_round_up(max(n, 1), node_mult),
             max_edges=_round_up(max(e, 1), edge_mult),
             max_graphs=len(graphs),
-            max_levels=_round_up(max(levels, 1), level_mult),
-            nodes_per_level=_round_up(max(kn, 1), width_mult),
+            max_levels=_round_up(max(rows, 1), level_mult),
+            nodes_per_level=chunk_size or _round_up(max(kn, 1), width_mult),
             edges_per_level=_round_up(max(ke, 1), width_mult),
         )
 

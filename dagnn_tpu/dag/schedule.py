@@ -17,6 +17,14 @@ statically-shaped arrays that a `lax.scan` consumes directly on TPU:
 
 plus boolean masks.  A reverse-direction schedule is the same structure built
 from the reversed edge set (reference: src/utils_dag.py:42-43).
+
+ROWS vs LEVELS: scan rows have a fixed width Kn (``nodes_per_level``). A
+topological level WIDER than Kn is split across consecutive rows — legal
+because nodes within a level are mutually independent (their predecessors
+are in strictly earlier levels, hence strictly earlier rows). This keeps the
+scan step shape uniform while wasting O(Kn) padding per level instead of
+O(max-width) per level: for skewed width profiles (AST batches) this is the
+difference between ~8%% and ~92%% padding compute.
 """
 
 from __future__ import annotations
@@ -31,14 +39,23 @@ class LevelSchedule(NamedTuple):
 
     Shapes: L = padded level count, Kn = padded max nodes/level,
     Ke = padded max edges/level.
+
+    The execution layout is LEVEL-SORTED: node states live in a flat
+    [L*Kn (+1 garbage), H] buffer where row l*Kn + k is slot k of level l.
+    Per-level writes are contiguous dynamic-update-slices (no scatter);
+    cross-level reads gather via `edge_src_slot`. `node_slot` maps global
+    node ids back to slots for readout. Edges are sorted by destination
+    slot within each level so segment ops see sorted ids.
     """
 
-    node_ids: np.ndarray   # [L, Kn] int32
+    node_ids: np.ndarray   # [L, Kn] int32, pad = n_pad (graph-node id space)
     node_mask: np.ndarray  # [L, Kn] bool
-    edge_src: np.ndarray   # [L, Ke] int32
+    edge_src: np.ndarray   # [L, Ke] int32 — source NODE id, pad = n_pad
+    edge_src_slot: np.ndarray  # [L, Ke] int32 — source flat SLOT, pad = L*Kn
     edge_dst: np.ndarray   # [L, Ke] int32 (local slot in [0, Kn], pad = Kn)
     edge_id: np.ndarray    # [L, Ke] int32
     edge_mask: np.ndarray  # [L, Ke] bool
+    node_slot: np.ndarray  # [n_pad + 1] int32 — flat slot of each node, pad = L*Kn
     num_levels: np.ndarray  # [] int32 — true level count (<= L)
 
     @property
@@ -108,51 +125,69 @@ def build_level_schedule(
     node_slot = np.empty(num_nodes, dtype=np.int64)
     node_slot[node_order] = slot_sorted
 
-    # --- edges: group by level of message target ---
-    elevel = level[msg_dst] if E > 0 else np.zeros(0, dtype=np.int64)
-    if E > 0 and (level[msg_src] >= elevel).any():
+    # --- rows: split levels into fixed-width chunks of Kn ---
+    Kn = nodes_per_level if nodes_per_level is not None else max(kn, 1)
+    rows_per_level = np.maximum((lvl_counts + Kn - 1) // Kn, 1)
+    row_base = np.zeros(num_levels + 1, dtype=np.int64)
+    np.cumsum(rows_per_level, out=row_base[1:])
+    num_rows = int(row_base[-1]) if num_levels > 0 else 0
+    node_row = row_base[level] + node_slot // Kn if num_nodes else np.zeros(0, np.int64)
+    node_pos = node_slot % Kn if num_nodes else np.zeros(0, np.int64)
+
+    # --- edges: group by (row of target, pos of target) so per-row
+    # segment ids arrive sorted ---
+    if E > 0 and (level[msg_src] >= level[msg_dst]).any():
         raise ValueError("edge from level >= target level: invalid schedule input")
-    edge_order = np.lexsort((edge_id, elevel))
-    e_sorted_lvl = elevel[edge_order]
-    elvl_counts = np.bincount(e_sorted_lvl, minlength=max(num_levels, 1))
-    ke = int(elvl_counts.max()) if E > 0 else 0
-    elvl_starts = np.zeros(max(num_levels, 1) + 1, dtype=np.int64)
-    np.cumsum(elvl_counts, out=elvl_starts[1:])
-    e_slot = np.arange(E) - elvl_starts[e_sorted_lvl] if E > 0 else np.zeros(0, dtype=np.int64)
+    erow = node_row[msg_dst] if E > 0 else np.zeros(0, dtype=np.int64)
+    epos_t = node_pos[msg_dst] if E > 0 else np.zeros(0, dtype=np.int64)
+    edge_order = np.lexsort((edge_id, epos_t, erow))
+    e_sorted_row = erow[edge_order]
+    erow_counts = np.bincount(e_sorted_row, minlength=max(num_rows, 1))
+    ke = int(erow_counts.max()) if E > 0 else 0
+    erow_starts = np.zeros(max(num_rows, 1) + 1, dtype=np.int64)
+    np.cumsum(erow_counts, out=erow_starts[1:])
+    e_slot = np.arange(E) - erow_starts[e_sorted_row] if E > 0 else np.zeros(0, dtype=np.int64)
 
     # --- resolve static shapes ---
-    L = max_levels if max_levels is not None else num_levels
-    Kn = nodes_per_level if nodes_per_level is not None else kn
+    R = max_levels if max_levels is not None else num_rows
     Ke = edges_per_level if edges_per_level is not None else ke
-    if num_levels > L:
-        raise ValueError(f"graph has {num_levels} levels > max_levels={L}")
-    if kn > Kn:
-        raise ValueError(f"level width {kn} > nodes_per_level={Kn}")
+    if num_rows > R:
+        raise ValueError(f"schedule needs {num_rows} rows > max_levels={R}")
     if ke > Ke:
-        raise ValueError(f"level edge width {ke} > edges_per_level={Ke}")
+        raise ValueError(f"row edge width {ke} > edges_per_level={Ke}")
 
-    node_ids = np.full((L, Kn), n_pad, dtype=np.int32)
-    node_mask = np.zeros((L, Kn), dtype=bool)
+    node_ids = np.full((R, Kn), n_pad, dtype=np.int32)
+    node_mask = np.zeros((R, Kn), dtype=bool)
     if num_nodes > 0:
-        node_ids[sorted_levels, slot_sorted] = node_order
-        node_mask[sorted_levels, slot_sorted] = True
+        node_ids[node_row, node_pos] = np.arange(num_nodes)
+        node_mask[node_row, node_pos] = True
 
-    edge_src = np.full((L, Ke), n_pad, dtype=np.int32)
-    edge_dst = np.full((L, Ke), Kn, dtype=np.int32)
-    edge_id_arr = np.full((L, Ke), e_pad, dtype=np.int32)
-    edge_mask = np.zeros((L, Ke), dtype=bool)
+    # flat slot of each node in the [R*Kn] row-sorted layout
+    flat_pad = R * Kn
+    node_flat_slot = np.full(n_pad + 1, flat_pad, dtype=np.int32)
+    if num_nodes > 0:
+        node_flat_slot[:num_nodes] = (node_row * Kn + node_pos).astype(np.int32)
+
+    edge_src = np.full((R, Ke), n_pad, dtype=np.int32)
+    edge_src_slot = np.full((R, Ke), flat_pad, dtype=np.int32)
+    edge_dst = np.full((R, Ke), Kn, dtype=np.int32)
+    edge_id_arr = np.full((R, Ke), e_pad, dtype=np.int32)
+    edge_mask = np.zeros((R, Ke), dtype=bool)
     if E > 0:
-        edge_src[e_sorted_lvl, e_slot] = msg_src[edge_order]
-        edge_dst[e_sorted_lvl, e_slot] = node_slot[msg_dst[edge_order]]
-        edge_id_arr[e_sorted_lvl, e_slot] = edge_id[edge_order]
-        edge_mask[e_sorted_lvl, e_slot] = True
+        edge_src[e_sorted_row, e_slot] = msg_src[edge_order]
+        edge_src_slot[e_sorted_row, e_slot] = node_flat_slot[msg_src[edge_order]]
+        edge_dst[e_sorted_row, e_slot] = node_pos[msg_dst[edge_order]]
+        edge_id_arr[e_sorted_row, e_slot] = edge_id[edge_order]
+        edge_mask[e_sorted_row, e_slot] = True
 
     return LevelSchedule(
         node_ids=node_ids,
         node_mask=node_mask,
         edge_src=edge_src,
+        edge_src_slot=edge_src_slot,
         edge_dst=edge_dst,
         edge_id=edge_id_arr,
         edge_mask=edge_mask,
-        num_levels=np.asarray(num_levels, dtype=np.int32),
+        node_slot=node_flat_slot,
+        num_levels=np.asarray(num_rows, dtype=np.int32),
     )

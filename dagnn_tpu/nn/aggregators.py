@@ -116,6 +116,7 @@ def aggregate_level(
     key_src: Optional[jnp.ndarray] = None,
     query: Optional[jnp.ndarray] = None,
     edge_emb: Optional[jnp.ndarray] = None,
+    sorted_ids: bool = True,
 ) -> jnp.ndarray:
     """Aggregate one level's messages into [num_slots, value_dim].
 
@@ -124,12 +125,15 @@ def aggregate_level(
     if spec.kind in ("add", "max", "gated_sum"):
         v = value_src if edge_emb is None else value_src + edge_emb
         if spec.kind == "add":
-            return segment_sum(v, edge_dst, num_slots, edge_mask)
+            return segment_sum(v, edge_dst, num_slots, edge_mask,
+                               indices_are_sorted=sorted_ids)
         if spec.kind == "max":
-            return segment_max(v, edge_dst, num_slots, edge_mask)
+            return segment_max(v, edge_dst, num_slots, edge_mask,
+                               indices_are_sorted=sorted_ids)
         g = jax.nn.sigmoid(linear(params["gate"], v))
         m = linear(params["mapper"], v)
-        return segment_sum(g * m, edge_dst, num_slots, edge_mask)
+        return segment_sum(g * m, edge_dst, num_slots, edge_mask,
+                           indices_are_sorted=sorted_ids)
 
     k = key_src if key_src is not None else value_src
     if edge_emb is not None:
@@ -150,4 +154,5 @@ def aggregate_level(
     else:
         raise ValueError(f"unknown aggregator kind {spec.kind}")
 
-    return edge_softmax_aggregate(scores, value_src, edge_dst, num_slots, edge_mask)
+    return edge_softmax_aggregate(scores, value_src, edge_dst, num_slots,
+                                  edge_mask, indices_are_sorted=sorted_ids)

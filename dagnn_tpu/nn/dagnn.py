@@ -17,10 +17,12 @@ out_pool_all, out_pool, dropout, num_class, recurr.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dagnn_tpu.dag.batch import DAGBatch
 from dagnn_tpu.nn.aggregators import (
@@ -195,85 +197,192 @@ def dagnn_init(key, cfg: DAGNNConfig, dtype=jnp.float32) -> Dict[str, Any]:
     return p
 
 
-def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
-    """Run the wavefront scan for one direction. Returns h [num_layers, N+1, H]."""
-    n1 = x.shape[0]
-    kn = sched.node_ids.shape[1]
-    if edge_attr is not None:
-        edge_attr = jnp.asarray(edge_attr)
-    h0 = jnp.zeros((cfg.num_layers, n1, cfg.hidden_dim), x.dtype)
+def _step_outs(cfg: DAGNNConfig, params_dir, specs, vals, fxs, ixs):
+    """Compute one level's per-layer outputs from pre-gathered inputs.
+
+    vals: [num_layers, Ke, H] predecessor states h[i][edge_src_slot]
+    (ignored for agg_x). fxs/ixs: this level's float/int streams.
+    Returns outs [num_layers, Kn, H]. Pure in its inputs — the unit the
+    write-once custom VJP replays (and the future Pallas kernel body).
+    """
+    inp_x = fxs["x"]
+    node_mask = ixs["nmask"]
+    edge_dst, edge_mask = ixs["edst"], ixs["emask"]
+    ea, x_src = fxs.get("ea"), fxs.get("xsrc")
+    v_src, v_node = fxs.get("vsrc"), fxs.get("vnode")
+    kn = inp_x.shape[0]
+
+    ps_common = None
+    if cfg.agg_x:
+        spec0, ap0 = specs[0], params_dir["aggr"][0]
+        kw = {}
+        if cfg.agg_attn:
+            kw = dict(key_src=x_src, query=inp_x)
+        ps = aggregate_level(
+            ap0, spec0, x_src, edge_dst, edge_mask, kn + 1,
+            edge_emb=encode_edges(ap0, spec0, ea), **kw,
+        )[:kn]
+        if ps.shape[-1] < cfg.hidden_dim:  # zero-pad emb -> hidden (dagnn.py:165-167)
+            ps = jnp.pad(ps, ((0, 0), (0, cfg.hidden_dim - ps.shape[-1])))
+        ps_common = ps
+
+    cur = inp_x
+    prev_out = None
+    outs = []
+    for i in range(cfg.num_layers):
+        if cfg.agg_x:
+            ps_h = ps_common
+        else:
+            spec, ap = specs[i], params_dir["aggr"][i]
+            val = vals[i]
+            agg_val = val
+            if v_src is not None and spec.kind == "gated_sum":
+                agg_val = jnp.concatenate([val, v_src], axis=-1)
+            kw = {}
+            if cfg.agg_attn:
+                if cfg.agg_attn_x:
+                    kw = dict(key_src=x_src, query=inp_x)
+                else:
+                    key = val if v_src is None else jnp.concatenate([val, v_src], -1)
+                    q = prev_out if i > 0 else inp_x  # h[d][i-1] at level == prev layer out
+                    if i > 0 and v_node is not None:
+                        q = jnp.concatenate([q, v_node], -1)
+                    kw = dict(key_src=key, query=q)
+            ps_h = aggregate_level(
+                ap, spec, agg_val, edge_dst, edge_mask, kn + 1,
+                edge_emb=encode_edges(ap, spec, ea), **kw,
+            )[:kn]
+
+        if cfg.recurr:
+            out = gru_cell(params_dir["cells"][i], cur, ps_h)
+        else:
+            out = linear(params_dir["cells"][i], jnp.concatenate([cur, ps_h], axis=-1))
+        out = jnp.where(node_mask[:, None], out, 0)
+        outs.append(out)
+        prev_out = out
+        cur = out
+    return jnp.stack(outs)  # [num_layers, Kn, H]
+
+
+def _gather_vals(cfg: DAGNNConfig, h, eslot):
+    if cfg.agg_x:
+        return jnp.zeros((cfg.num_layers,) + eslot.shape + (cfg.hidden_dim,), h.dtype)
+    return h[:, eslot, :]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wavefront(static, params_dir, fxs, ixs):
+    """Scan the wavefront over levels; returns h_flat [num_layers, L*Kn+1, H].
+
+    The level-sorted buffer is WRITE-ONCE (each slot written exactly at its
+    level; gathers read strictly earlier levels), so the custom VJP stores
+    only the final buffer and replays levels in reverse — O(1) memory in
+    depth instead of a per-step carry snapshot (which OOMs at depth ~100).
+    """
+    h, _ = jax.lax.scan(_fwd_step(static, params_dir), _init_h(static, fxs),
+                        (fxs, ixs))
+    return h
+
+
+def _init_h(static, fxs):
+    cfg, L, kn = static
+    return jnp.zeros((cfg.num_layers, L * kn + 1, cfg.hidden_dim),
+                     fxs["x"].dtype)
+
+
+def _fwd_step(static, params_dir):
+    cfg, L, kn = static
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
 
-    vids_all = None
+    def step(h, xs):
+        fxs, ixs = xs
+        offset = ixs["lvl"] * kn
+        vals = _gather_vals(cfg, h, ixs["eslot"])
+        outs = _step_outs(cfg, params_dir, specs, vals, fxs, ixs)
+        h = jax.lax.dynamic_update_slice(h, outs, (0, offset, 0))
+        return h, None
+
+    return step
+
+
+def _wavefront_fwd(static, params_dir, fxs, ixs):
+    h = _wavefront(static, params_dir, fxs, ixs)
+    return h, (params_dir, fxs, ixs, h)
+
+
+def _wavefront_bwd(static, res, g):
+    cfg, L, kn = static
+    params_dir, fxs, ixs, h_final = res
+    specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
+
+    def bwd_step(carry, xs):
+        d_h, d_params = carry
+        fxs_l, ixs_l = xs
+        offset = ixs_l["lvl"] * kn
+        eslot = ixs_l["eslot"]
+        vals = _gather_vals(cfg, h_final, eslot)
+        g_out = jax.lax.dynamic_slice(
+            d_h, (0, offset, 0), (cfg.num_layers, kn, cfg.hidden_dim))
+
+        def f(p, v, fl):
+            return _step_outs(cfg, p, specs, v, fl, ixs_l)
+
+        _, vjp_fn = jax.vjp(f, params_dir, vals, fxs_l)
+        dp, dv, dfl = vjp_fn(g_out)
+        if not cfg.agg_x:
+            d_h = d_h.at[:, eslot, :].add(dv)
+        d_params = jax.tree.map(jnp.add, d_params, dp)
+        return (d_h, d_params), dfl
+
+    d_params0 = jax.tree.map(jnp.zeros_like, params_dir)
+    (d_h, d_params), d_fxs = jax.lax.scan(
+        bwd_step, (g, d_params0), (fxs, ixs), reverse=True)
+    d_ixs = jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), ixs)
+    return d_params, d_fxs, d_ixs
+
+
+_wavefront.defvjp(_wavefront_fwd, _wavefront_bwd)
+
+
+def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
+    """Run the wavefront pass for one direction. Returns h [num_layers, N+1, H].
+
+    Execution uses the LEVEL-SORTED layout (see dag/schedule.py): states
+    live in a flat [L*Kn+1, H] write-once buffer so per-level writes are
+    contiguous dynamic-update-slices; per-slot inputs (x, edge attrs, vids)
+    are pre-gathered once and streamed through the scan. The only per-step
+    random access is the cross-level predecessor gather, whose transpose
+    (scatter-add) appears only in the memory-light custom backward.
+    """
+    n1 = x.shape[0]
+    L, kn = sched.node_ids.shape
+    node_ids = jnp.asarray(sched.node_ids)
+
+    fxs = {"x": x[node_ids]}  # [L, Kn, emb]
+    if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
+        fxs["ea"] = jnp.asarray(edge_attr)[jnp.asarray(sched.edge_id)].astype(x.dtype)
+    if cfg.agg_x or cfg.agg_attn_x:
+        fxs["xsrc"] = x[jnp.asarray(sched.edge_src)]  # [L, Ke, emb]
     if cfg.vid_dim > 0:
         # one-hot vertex id within the (fixed-size) graph: global index mod
         # vid_dim (reference dvae/dagnn.py:130-134)
         vids_all = jax.nn.one_hot(jnp.arange(n1) % cfg.vid_dim, cfg.vid_dim,
                                   dtype=x.dtype)
+        fxs["vsrc"] = vids_all[jnp.asarray(sched.edge_src)]
+        fxs["vnode"] = vids_all[node_ids]
+    ixs = {
+        "lvl": jnp.arange(L, dtype=jnp.int32),
+        "nmask": jnp.asarray(sched.node_mask),
+        "eslot": jnp.asarray(sched.edge_src_slot),
+        "edst": jnp.asarray(sched.edge_dst),
+        "emask": jnp.asarray(sched.edge_mask),
+    }
 
-    def step(h, xs):
-        node_ids, node_mask, edge_src, edge_dst, edge_id, edge_mask = xs
-        inp0 = x[node_ids]  # [Kn, emb]
-        ea = None
-        if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
-            ea = edge_attr[edge_id].astype(x.dtype)
-
-        ps_common = None
-        if cfg.agg_x:
-            spec0, ap0 = specs[0], params_dir["aggr"][0]
-            kw = {}
-            if cfg.agg_attn:
-                kw = dict(key_src=x[edge_src], query=inp0)
-            ps = aggregate_level(
-                ap0, spec0, x[edge_src], edge_dst, edge_mask, kn + 1,
-                edge_emb=encode_edges(ap0, spec0, ea), **kw,
-            )[:kn]
-            if ps.shape[-1] < cfg.hidden_dim:  # zero-pad emb -> hidden (dagnn.py:165-167)
-                ps = jnp.pad(ps, ((0, 0), (0, cfg.hidden_dim - ps.shape[-1])))
-            ps_common = ps
-
-        cur = inp0
-        prev_out = None
-        for i in range(cfg.num_layers):
-            if cfg.agg_x:
-                ps_h = ps_common
-            else:
-                spec, ap = specs[i], params_dir["aggr"][i]
-                val = h[i][edge_src]  # [Ke, H]
-                v_src = None
-                if vids_all is not None:
-                    v_src = vids_all[edge_src]
-                agg_val = val
-                if vids_all is not None and spec.kind == "gated_sum":
-                    agg_val = jnp.concatenate([val, v_src], axis=-1)
-                kw = {}
-                if cfg.agg_attn:
-                    if cfg.agg_attn_x:
-                        kw = dict(key_src=x[edge_src], query=inp0)
-                    else:
-                        key = val if vids_all is None else jnp.concatenate([val, v_src], -1)
-                        q = prev_out if i > 0 else inp0  # h[d][i-1] at level == prev layer out
-                        if i > 0 and vids_all is not None:
-                            q = jnp.concatenate([q, vids_all[node_ids]], -1)
-                        kw = dict(key_src=key, query=q)
-                ps_h = aggregate_level(
-                    ap, spec, agg_val, edge_dst, edge_mask, kn + 1,
-                    edge_emb=encode_edges(ap, spec, ea), **kw,
-                )[:kn]
-
-            if cfg.recurr:
-                out = gru_cell(params_dir["cells"][i], cur, ps_h)
-            else:
-                out = linear(params_dir["cells"][i], jnp.concatenate([cur, ps_h], axis=-1))
-            h = h.at[i, node_ids].add(jnp.where(node_mask[:, None], out, 0))
-            prev_out = out
-            cur = out
-        return h, None
-
-    xs = (sched.node_ids, sched.node_mask, sched.edge_src,
-          sched.edge_dst, sched.edge_id, sched.edge_mask)
-    h, _ = jax.lax.scan(step, h0, xs)
-    return h
+    h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
+    # back to node space for readouts / VAE index arithmetic
+    node_slot = jnp.asarray(sched.node_slot)
+    return h_flat[:, node_slot, :]
 
 
 def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):

@@ -28,11 +28,13 @@ def segment_sum(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Sum `values` rows into `num_segments` buckets. Masked rows contribute 0."""
     if mask is not None:
         values = jnp.where(_bcast(mask, values), values, 0)
-    return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 def segment_max(
@@ -40,13 +42,15 @@ def segment_max(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Per-segment max; empty segments yield 0 (PyG `aggr='max'` fills 0 for
     nodes with no incoming edges after the wavefront edge selection)."""
     neg = jnp.finfo(values.dtype).min
     if mask is not None:
         values = jnp.where(_bcast(mask, values), values, neg)
-    out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments)
+    out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
     # jax fills empty segments with -inf; fully masked segments produce `neg`.
     return jnp.where(out <= neg, 0, out)
 
@@ -56,6 +60,7 @@ def segment_softmax(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Numerically stable per-segment softmax over edge scores.
 
@@ -65,13 +70,15 @@ def segment_softmax(
     """
     neg = jnp.finfo(scores.dtype).min
     masked_scores = scores if mask is None else jnp.where(_bcast(mask, scores), scores, neg)
-    seg_max = jax.ops.segment_max(masked_scores, segment_ids, num_segments=num_segments)
+    seg_max = jax.ops.segment_max(masked_scores, segment_ids, num_segments=num_segments,
+                                  indices_are_sorted=indices_are_sorted)
     seg_max = jnp.where(seg_max <= neg, 0, seg_max)  # empty/fully-masked segments
     shifted = masked_scores - seg_max[segment_ids]
     expd = jnp.exp(shifted)
     if mask is not None:
         expd = jnp.where(_bcast(mask, expd), expd, 0)
-    denom = jax.ops.segment_sum(expd, segment_ids, num_segments=num_segments)
+    denom = jax.ops.segment_sum(expd, segment_ids, num_segments=num_segments,
+                                indices_are_sorted=indices_are_sorted)
     return expd / (denom[segment_ids] + _SOFTMAX_EPS)
 
 
@@ -81,6 +88,7 @@ def edge_softmax_aggregate(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """softmax(scores) per destination segment, then weighted-sum `values`.
 
@@ -99,11 +107,13 @@ def edge_softmax_aggregate(
     Returns:
         [num_segments, H] aggregated messages.
     """
-    alpha = segment_softmax(scores, segment_ids, num_segments, mask)
+    alpha = segment_softmax(scores, segment_ids, num_segments, mask,
+                            indices_are_sorted=indices_are_sorted)
     weighted = values * alpha[:, None]
     if mask is not None:
         weighted = jnp.where(mask[:, None], weighted, 0)
-    return jax.ops.segment_sum(weighted, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(weighted, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 def _bcast(mask: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
