@@ -1,0 +1,287 @@
+"""Shared ogbg-code2 experiment driver: fold loop, train/eval, checkpoint,
+resume, CSV metrics, early stopping.
+
+Re-implements the reference driver skeleton (reference:
+ogbg-code/main_pyg.py:39-126 train/eval, :249-343 fold loop with
+checkpoint-resume fast-forward and patience early-stop;
+main_pyg_lp.py for the LP task). Data comes from a real ogbg-code2 raw
+directory when available, or from the synthetic AST generator for smoke and
+bench runs (the corpus download needs network access the deployment may not
+have).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dagnn_tpu.dag.batch import DAGGraph
+from dagnn_tpu.data import code2
+from dagnn_tpu.data.dataloader import DAGLoader
+from dagnn_tpu.data.synthetic import synthetic_ast_batch
+from dagnn_tpu.nn.dagnn import DAGNNConfig, dagnn_init, dagnn_forward
+from dagnn_tpu.nn.encoders import EncoderSpec
+from dagnn_tpu.train import checkpoint as ckpt
+from dagnn_tpu.train.losses import tok_loss, class_loss
+from dagnn_tpu.train.metrics import RunLogger
+from dagnn_tpu.train.optim import make_optimizer
+
+LP_NUM_CLASSES = 275  # reference main_pyg_lp.py:341-343
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    # mirrors main_pyg.py:129-189 flag surface
+    p.add_argument("--gnn", default="dagnn")
+    p.add_argument("--emb_dim", type=int, default=300)
+    p.add_argument("--batch_size", type=int, default=160)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--clip", type=float, default=0.25)
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_vocab", type=int, default=5000)
+    p.add_argument("--max_seq_len", type=int, default=5)
+    p.add_argument("--dagnn_layers", type=int, default=2)
+    p.add_argument("--dagnn_agg", default="attn_h")
+    p.add_argument("--dagnn_bidir", type=int, default=1)
+    p.add_argument("--dagnn_out_wx", type=int, default=0)
+    p.add_argument("--dagnn_out_pool_all", type=int, default=0)
+    p.add_argument("--dagnn_out_pool", default="max")
+    p.add_argument("--dagnn_dropout", type=float, default=0.0)
+    p.add_argument("--w_edge_attr", type=int, default=1)
+    p.add_argument("--data_root", default=None,
+                   help="ogbg-code2 root with raw/ and split/project/")
+    p.add_argument("--train_idx", default=None,
+                   help="train subset csv.gz (train10/15/20)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic AST graphs instead of real data")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny 50/10/10 split (reference CPU smoke mode)")
+    p.add_argument("--checkpointing", type=int, default=1)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--dir_results", default="results")
+    p.add_argument("--dir_save", default="saved_models")
+    p.add_argument("--name", default=None)
+    p.add_argument("--chunk_size", type=int, default=256)
+    p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke/debug runs)")
+    return p
+
+
+def apply_platform(args):
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+
+
+def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030):
+    """DAGNN config for TOK/LP (reference init_model, main_pyg.py:370-405)."""
+    return DAGNNConfig(
+        num_vocab=args.num_vocab + 2 if task == "tok" else 0,
+        max_seq_len=args.max_seq_len,
+        emb_dim=args.emb_dim,
+        hidden_dim=args.emb_dim,
+        num_rels=2,
+        w_edge_attr=bool(args.w_edge_attr),
+        num_layers=args.dagnn_layers,
+        bidirectional=bool(args.dagnn_bidir),
+        agg=args.dagnn_agg,
+        out_wx=args.dagnn_out_wx > 0,
+        out_pool_all=bool(args.dagnn_out_pool_all),
+        out_pool=args.dagnn_out_pool,
+        dropout=args.dagnn_dropout,
+        num_class=LP_NUM_CLASSES if task == "lp" else 0,
+        encoder=EncoderSpec("ast", emb_dim=args.emb_dim,
+                            num_nodetypes=num_nodetypes,
+                            num_nodeattributes=num_nodeattributes,
+                            max_depth=20),
+    )
+
+
+def load_dataset(args, task: str):
+    """Returns (train, valid, test, idx2vocab). Real raw dir or synthetic."""
+    if args.data_root and os.path.isdir(os.path.join(args.data_root, "raw")):
+        raws = code2.read_code2_raw(os.path.join(args.data_root, "raw"))
+        split = code2.read_split(os.path.join(args.data_root, "split", "project"))
+        train_idx = split["train"]
+        if args.train_idx:
+            sub = code2.read_train_subset_idx(args.train_idx)
+            train_idx = train_idx[sub]  # main_pyg.py:216-219
+        vocab2idx, idx2vocab = code2.get_vocab_mapping(
+            [raws[i]["y"] for i in split["train"]], args.num_vocab)
+        conv = lambda idxs: [code2.raw_to_dag(raws[i], vocab2idx, args.max_seq_len)
+                             for i in idxs]
+        tr, va, te = conv(train_idx), conv(split["valid"]), conv(split["test"])
+    else:
+        n = args.synthetic or 300
+        graphs = synthetic_ast_batch(args.seed, n, mean_nodes=60,
+                                     vocab=args.num_vocab + 2,
+                                     seq_len=args.max_seq_len)
+        for g in graphs:
+            g.y["len_longest_path"] = np.asarray(
+                min(g.len_longest_path, LP_NUM_CLASSES - 1), np.int32)
+        k = n // 10
+        tr, va, te = graphs[: n - 2 * k], graphs[n - 2 * k: n - k], graphs[n - k:]
+        idx2vocab = [f"tok{i}" for i in range(args.num_vocab + 1)] + [code2.EOS]
+    if args.smoke:
+        tr, va, te = tr[:50], va[:10], te[:10]  # main_pyg.py:225-229
+    return tr, va, te, idx2vocab
+
+
+def make_step_fns(cfg: DAGNNConfig, opt, task: str):
+    def loss_fn(params, batch, rng):
+        logits = dagnn_forward(params, cfg, batch, rng=rng,
+                               train=cfg.dropout > 0)
+        if task == "tok":
+            return tok_loss(logits, batch.y["y_arr"], batch.graph_mask)
+        return class_loss(logits, batch.y["len_longest_path"], batch.graph_mask)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def predict(params, batch):
+        logits = dagnn_forward(params, cfg, batch)
+        return jnp.argmax(logits, axis=-1)
+
+    return train_step, predict
+
+
+def evaluate(predict, params, loader, task: str, idx2vocab) -> float:
+    """Greedy decode + metric (main_pyg.py:69-88 / main_pyg_lp.py:77-110)."""
+    refs, preds = [], []
+    yt, yp = [], []
+    for batch in loader:
+        out = np.asarray(predict(params, batch))
+        g = int(batch.n_graph)
+        if task == "tok":
+            for i in range(g):
+                preds.append(code2.decode_arr_to_seq(out[i], idx2vocab))
+                refs.append(code2.decode_arr_to_seq(batch.y["y_arr"][i], idx2vocab))
+        else:
+            yp.append(out[:g])
+            yt.append(np.asarray(batch.y["len_longest_path"])[:g])
+    if task == "tok":
+        return code2.eval_f1(refs, preds)["F1"]
+    return code2.eval_acc(np.concatenate(yt), np.concatenate(yp))["acc"]
+
+
+def run(args, task: str):
+    apply_platform(args)
+    name = args.name or f"{args.gnn}_{task}"
+    train, valid, test, idx2vocab = load_dataset(args, task)
+    print(f"dataset: {len(train)} train / {len(valid)} valid / {len(test)} test")
+    cfg = build_model_cfg(args, task)
+    opt = make_optimizer(args.lr, args.clip)
+    logger = RunLogger(args.dir_results, name)
+    os.makedirs(args.dir_save, exist_ok=True)
+
+    # resume (main_pyg.py:254-266): fast-forward completed folds
+    start_fold, resume_path = 1, None
+    if args.checkpoint:
+        resume_path = args.checkpoint
+    elif args.checkpointing:
+        resume_path = ckpt.find_latest_checkpoint(args.dir_save, name)
+    if resume_path:
+        start_fold, _ = ckpt.parse_fold_epoch(resume_path)
+        print(f"resuming from {resume_path} (fold {start_fold})")
+
+    fold_results = []
+    for fold in range(start_fold, args.folds + 1):
+        rng = jax.random.PRNGKey(args.seed + fold)
+        params = dagnn_init(rng, cfg)
+        opt_state = opt.init(params)
+        start_epoch = 1
+        best = {"epoch": 0, "train": 0.0, "valid": -1.0, "test": 0.0}
+        patience_left = args.patience
+
+        if resume_path and fold == start_fold:
+            results, epoch, params, opt_state = ckpt.load_checkpoint(
+                resume_path, params, opt_state)
+            start_epoch = epoch + 1
+            if results:
+                best = results.get("best", best)
+                patience_left = results.get("patience", patience_left)
+            resume_path = None
+
+        mk_loader = lambda gs, sh, seed: DAGLoader(
+            gs, args.batch_size, shuffle=sh, seed=seed,
+            chunk_size=args.chunk_size, prefetch=args.prefetch)
+        valid_loader = mk_loader(valid, False, 0)
+        test_loader = mk_loader(test, False, 0)
+        train_eval_loader = mk_loader(train[: len(valid) * 4], False, 0)
+
+        prev_ckpt = None
+        for epoch in range(start_epoch, args.epochs + 1):
+            t0 = time.time()
+            losses = []
+            loader = mk_loader(train, True, args.seed + fold * 1000 + epoch)
+            for batch in loader:
+                rng, k = jax.random.split(rng)
+                params, opt_state, loss = train_step_cache(
+                    cfg, opt, task)[0](params, opt_state,
+                                       jax.tree.map(jnp.asarray, batch), k)
+                losses.append(float(loss))
+            train_time = time.time() - t0
+
+            predict = train_step_cache(cfg, opt, task)[1]
+            m_tr = evaluate(predict, params, train_eval_loader, task, idx2vocab)
+            m_va = evaluate(predict, params, valid_loader, task, idx2vocab)
+            m_te = evaluate(predict, params, test_loader, task, idx2vocab)
+            mloss = float(np.mean(losses)) if losses else 0.0
+            logger.log_epoch(fold, epoch, mloss, m_tr, m_va, m_te, train_time)
+            print(f"fold {fold} epoch {epoch}: loss {mloss:.4f} "
+                  f"train {m_tr:.4f} valid {m_va:.4f} test {m_te:.4f} "
+                  f"({train_time:.1f}s)")
+
+            if m_va > best["valid"]:
+                best = {"epoch": epoch, "train": m_tr, "valid": m_va, "test": m_te}
+                patience_left = args.patience
+            else:
+                patience_left -= 1
+
+            if args.checkpointing:
+                path = ckpt.checkpoint_name(args.dir_save, name, fold, epoch)
+                ckpt.create_checkpoint(path, epoch, params, opt_state,
+                                       {"best": best, "patience": patience_left})
+                if prev_ckpt:
+                    ckpt.remove_checkpoint(prev_ckpt)
+                prev_ckpt = path
+
+            if patience_left <= 0:  # main_pyg.py:340-343
+                print(f"early stop at epoch {epoch}")
+                break
+
+        logger.log_fold(fold, best["epoch"], best["train"], best["valid"], best["test"])
+        fold_results.append(best)
+        print(f"fold {fold} best: {best}")
+
+    vals = [b["valid"] for b in fold_results]
+    tests = [b["test"] for b in fold_results]
+    if vals:
+        from dagnn_tpu.train.metrics import summary_report
+        mv, sv = summary_report(vals)
+        mt, st = summary_report(tests)
+        print(f"final: valid {mv:.4f}±{sv:.4f} test {mt:.4f}±{st:.4f}")
+    return fold_results
+
+
+_STEP_CACHE = {}
+
+
+def train_step_cache(cfg, opt, task):
+    key = (cfg, task, id(opt))
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_step_fns(cfg, opt, task)
+    return _STEP_CACHE[key]
