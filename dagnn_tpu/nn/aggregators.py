@@ -33,6 +33,9 @@ from dagnn_tpu.ops.segment import (
     segment_sum,
     segment_max,
     edge_softmax_aggregate,
+    one_hot_segments,
+    dense_segment_sum,
+    dense_edge_softmax_aggregate,
 )
 
 AGG_KINDS = ("add", "max", "gated_sum", "self_attn", "attn", "mattn")
@@ -117,14 +120,24 @@ def aggregate_level(
     query: Optional[jnp.ndarray] = None,
     edge_emb: Optional[jnp.ndarray] = None,
     sorted_ids: bool = True,
+    impl: str = "dense",
 ) -> jnp.ndarray:
     """Aggregate one level's messages into [num_slots, value_dim].
 
     num_slots should be Kn + 1 (one extra pad segment); callers slice [:Kn].
+    impl="dense" runs segment ops as one-hot MXU matmuls (scatter-free in
+    forward and backward); "scatter" uses jax.ops.segment_* (the semantics
+    reference). Vector segment-max always uses the scatter path (its dense
+    form would materialize [E, S, H]).
     """
+    P = one_hot_segments(edge_dst, num_slots, edge_mask,
+                         value_src.dtype) if impl == "dense" else None
+
     if spec.kind in ("add", "max", "gated_sum"):
         v = value_src if edge_emb is None else value_src + edge_emb
         if spec.kind == "add":
+            if P is not None:
+                return dense_segment_sum(v, P)
             return segment_sum(v, edge_dst, num_slots, edge_mask,
                                indices_are_sorted=sorted_ids)
         if spec.kind == "max":
@@ -132,6 +145,8 @@ def aggregate_level(
                                indices_are_sorted=sorted_ids)
         g = jax.nn.sigmoid(linear(params["gate"], v))
         m = linear(params["mapper"], v)
+        if P is not None:
+            return dense_segment_sum(g * m, P)
         return segment_sum(g * m, edge_dst, num_slots, edge_mask,
                            indices_are_sorted=sorted_ids)
 
@@ -154,5 +169,7 @@ def aggregate_level(
     else:
         raise ValueError(f"unknown aggregator kind {spec.kind}")
 
+    if P is not None:
+        return dense_edge_softmax_aggregate(scores, value_src, edge_dst, P)
     return edge_softmax_aggregate(scores, value_src, edge_dst, num_slots,
                                   edge_mask, indices_are_sorted=sorted_ids)

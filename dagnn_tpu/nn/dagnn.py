@@ -75,6 +75,12 @@ class DAGNNConfig:
     # before aggregation: to gated-sum values and to *_h attention keys and
     # queries (reference dvae/dagnn.py:129-137). 0 disables (canonical OGB).
     vid_dim: int = 0
+    # segment-op implementation: "dense" (one-hot MXU matmuls, scatter-free)
+    # or "scatter" (jax.ops.segment_*, the semantics reference)
+    segment_impl: str = "dense"
+    # wavefront compute dtype: "float32" (parity) or "bfloat16" (MXU-native;
+    # params stay f32, states/matmuls run bf16, softmax internals f32)
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.agg_x and self.hidden_dim < self.emb_dim:
@@ -220,7 +226,7 @@ def _step_outs(cfg: DAGNNConfig, params_dir, specs, vals, fxs, ixs):
             kw = dict(key_src=x_src, query=inp_x)
         ps = aggregate_level(
             ap0, spec0, x_src, edge_dst, edge_mask, kn + 1,
-            edge_emb=encode_edges(ap0, spec0, ea), **kw,
+            edge_emb=encode_edges(ap0, spec0, ea), impl=cfg.segment_impl, **kw,
         )[:kn]
         if ps.shape[-1] < cfg.hidden_dim:  # zero-pad emb -> hidden (dagnn.py:165-167)
             ps = jnp.pad(ps, ((0, 0), (0, cfg.hidden_dim - ps.shape[-1])))
@@ -250,7 +256,7 @@ def _step_outs(cfg: DAGNNConfig, params_dir, specs, vals, fxs, ixs):
                     kw = dict(key_src=key, query=q)
             ps_h = aggregate_level(
                 ap, spec, agg_val, edge_dst, edge_mask, kn + 1,
-                edge_emb=encode_edges(ap, spec, ea), **kw,
+                edge_emb=encode_edges(ap, spec, ea), impl=cfg.segment_impl, **kw,
             )[:kn]
 
         if cfg.recurr:
@@ -358,6 +364,13 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
     n1 = x.shape[0]
     L, kn = sched.node_ids.shape
     node_ids = jnp.asarray(sched.node_ids)
+
+    if cfg.compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+        params_dir = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params_dir)
 
     fxs = {"x": x[node_ids]}  # [L, Kn, emb]
     if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:

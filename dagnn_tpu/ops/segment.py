@@ -120,3 +120,57 @@ def _bcast(mask: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     while mask.ndim < like.ndim:
         mask = mask[..., None]
     return mask
+
+
+# --- densified segment ops -------------------------------------------------
+#
+# At wavefront-row sizes (Ke ~ hundreds, num_segments ~ chunk width) the
+# segment ops can be expressed as one-hot matmuls that run on the MXU —
+# no scatter in forward OR backward (the transpose of a matmul is a matmul).
+# This is the TPU-native formulation of torch_scatter's job.
+
+def one_hot_segments(segment_ids: jnp.ndarray, num_segments: int,
+                     mask: Optional[jnp.ndarray] = None,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """P [E, S] with P[e, seg(e)] = 1 (0 for masked edges)."""
+    P = jax.nn.one_hot(segment_ids, num_segments, dtype=dtype)
+    if mask is not None:
+        P = P * mask.astype(dtype)[:, None]
+    return P
+
+
+def dense_segment_sum(values, P):
+    return P.T @ values
+
+
+def dense_segment_max(scores, P):
+    """Per-segment max of scalar scores; empty segments -> 0."""
+    neg = jnp.finfo(scores.dtype).min
+    sm = jnp.where(P.T > 0, scores[None, :], neg)
+    out = jnp.max(sm, axis=1)
+    return jnp.where(out <= neg, 0, out)
+
+
+def dense_segment_max_vec(values, P):
+    """Per-segment max of vector values [E, H]; empty segments -> 0."""
+    neg = jnp.finfo(values.dtype).min
+    sm = jnp.where(P[:, :, None] > 0, values[:, None, :], neg)  # [E, S, H]
+    out = jnp.max(sm, axis=0)
+    return jnp.where(out <= neg, 0, out)
+
+
+def dense_edge_softmax_aggregate(scores, values, segment_ids, P):
+    """softmax-per-segment + weighted sum, all as one-hot matmuls.
+
+    Matches edge_softmax_aggregate bit-for-bit up to float reassociation
+    (same max-subtraction and +1e-16 denominator).
+    """
+    out_dtype = values.dtype
+    scores = scores.astype(jnp.float32)  # stable exp/normalize in f32
+    Pf = P.astype(jnp.float32)
+    seg_max = dense_segment_max(scores, Pf)
+    gate = Pf @ jnp.ones((P.shape[1],), jnp.float32)  # edge mask as float
+    e = jnp.exp(scores - seg_max[segment_ids]) * gate
+    denom = Pf.T @ e
+    alpha = (e / (denom[segment_ids] + _SOFTMAX_EPS)).astype(out_dtype)
+    return P.T @ (values * alpha[:, None])
