@@ -25,6 +25,7 @@ from dagnn_tpu.dag.batch import DAGGraph
 from dagnn_tpu.data import code2
 from dagnn_tpu.data.dataloader import DAGLoader
 from dagnn_tpu.data.synthetic import synthetic_ast_batch
+from dagnn_tpu.nn.baselines import MPNNConfig, mpnn_init, mpnn_forward
 from dagnn_tpu.nn.dagnn import DAGNNConfig, dagnn_init, dagnn_forward
 from dagnn_tpu.nn.encoders import EncoderSpec
 from dagnn_tpu.train import checkpoint as ckpt
@@ -82,7 +83,26 @@ def apply_platform(args):
 
 
 def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030):
-    """DAGNN config for TOK/LP (reference init_model, main_pyg.py:370-405)."""
+    """Model config for TOK/LP (reference init_model, main_pyg.py:370-405):
+    --gnn selects dagnn or a baseline (gin/gin-virtual/gcn/gcn-virtual/
+    gat/ggnn)."""
+    enc = EncoderSpec("ast", emb_dim=args.emb_dim,
+                      num_nodetypes=num_nodetypes,
+                      num_nodeattributes=num_nodeattributes,
+                      max_depth=20)
+    if args.gnn != "dagnn":
+        base = args.gnn.replace("-virtual", "")
+        return MPNNConfig(
+            gnn_type=base,
+            virtual_node="virtual" in args.gnn,
+            num_layers=args.dagnn_layers if args.dagnn_layers > 2 else 5,
+            emb_dim=args.emb_dim,
+            dropout=args.dagnn_dropout,
+            num_vocab=args.num_vocab + 2 if task == "tok" else 0,
+            max_seq_len=args.max_seq_len,
+            num_class=LP_NUM_CLASSES if task == "lp" else 0,
+            encoder=enc,
+        )
     return DAGNNConfig(
         num_vocab=args.num_vocab + 2 if task == "tok" else 0,
         max_seq_len=args.max_seq_len,
@@ -98,10 +118,7 @@ def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030)
         out_pool=args.dagnn_out_pool,
         dropout=args.dagnn_dropout,
         num_class=LP_NUM_CLASSES if task == "lp" else 0,
-        encoder=EncoderSpec("ast", emb_dim=args.emb_dim,
-                            num_nodetypes=num_nodetypes,
-                            num_nodeattributes=num_nodeattributes,
-                            max_depth=20),
+        encoder=enc,
     )
 
 
@@ -135,10 +152,13 @@ def load_dataset(args, task: str):
     return tr, va, te, idx2vocab
 
 
-def make_step_fns(cfg: DAGNNConfig, opt, task: str):
+def make_step_fns(cfg, opt, task: str):
+    is_dagnn = isinstance(cfg, DAGNNConfig)
+    fwd = dagnn_forward if is_dagnn else mpnn_forward
+
     def loss_fn(params, batch, rng):
-        logits = dagnn_forward(params, cfg, batch, rng=rng,
-                               train=cfg.dropout > 0)
+        logits = fwd(params, cfg, batch, rng=rng,
+                     train=cfg.dropout > 0)
         if task == "tok":
             return tok_loss(logits, batch.y["y_arr"], batch.graph_mask)
         return class_loss(logits, batch.y["len_longest_path"], batch.graph_mask)
@@ -152,7 +172,7 @@ def make_step_fns(cfg: DAGNNConfig, opt, task: str):
 
     @jax.jit
     def predict(params, batch):
-        logits = dagnn_forward(params, cfg, batch)
+        logits = fwd(params, cfg, batch)
         return jnp.argmax(logits, axis=-1)
 
     return train_step, predict
@@ -183,6 +203,7 @@ def run(args, task: str):
     train, valid, test, idx2vocab = load_dataset(args, task)
     print(f"dataset: {len(train)} train / {len(valid)} valid / {len(test)} test")
     cfg = build_model_cfg(args, task)
+    is_dagnn = isinstance(cfg, DAGNNConfig)
     opt = make_optimizer(args.lr, args.clip)
     logger = RunLogger(args.dir_results, name)
     os.makedirs(args.dir_save, exist_ok=True)
@@ -200,7 +221,7 @@ def run(args, task: str):
     fold_results = []
     for fold in range(start_fold, args.folds + 1):
         rng = jax.random.PRNGKey(args.seed + fold)
-        params = dagnn_init(rng, cfg)
+        params = dagnn_init(rng, cfg) if is_dagnn else mpnn_init(rng, cfg)
         opt_state = opt.init(params)
         start_epoch = 1
         best = {"epoch": 0, "train": 0.0, "valid": -1.0, "test": 0.0}
@@ -217,7 +238,8 @@ def run(args, task: str):
 
         mk_loader = lambda gs, sh, seed: DAGLoader(
             gs, args.batch_size, shuffle=sh, seed=seed,
-            chunk_size=args.chunk_size, prefetch=args.prefetch)
+            chunk_size=args.chunk_size, prefetch=args.prefetch,
+            schedules=is_dagnn)
         valid_loader = mk_loader(valid, False, 0)
         test_loader = mk_loader(test, False, 0)
         train_eval_loader = mk_loader(train[: len(valid) * 4], False, 0)

@@ -96,6 +96,11 @@ class DAGBatch(NamedTuple):
     n_graph: np.ndarray           # [] int32 true graph count
     extras: Dict[str, np.ndarray]     # per-node [N+1, ...]
     y: Dict[str, np.ndarray]          # per-graph [G, ...]
+    # flat edge arrays (pad = N) for whole-graph message passing (baseline
+    # GNNs run over the full — possibly cyclic — edge set, no wavefront)
+    edge_src_flat: Optional[np.ndarray] = None   # [E+1] int32
+    edge_dst_flat: Optional[np.ndarray] = None   # [E+1] int32
+    edge_mask_flat: Optional[np.ndarray] = None  # [E+1] bool
 
     @property
     def num_node_slots(self) -> int:
@@ -169,19 +174,24 @@ class PadConfig:
         )
 
 
-def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None) -> DAGBatch:
+def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
+            build_schedules: bool = True) -> DAGBatch:
     """Collate a list of DAGGraphs into one padded DAGBatch.
 
     Mirrors PyG batching with cumulative node offsets plus the reference's
-    level-aware index handling (dvae/batch.py:53-66), but emits static shapes.
+    level-aware index handling (dvae/batch.py:53-66), but emits static
+    shapes. build_schedules=False skips topo leveling entirely (required
+    for the possibly-cyclic 4-way augmented baseline graphs) — schedules
+    come out empty and only the flat edge arrays are usable.
     """
     if pad is None:
         pad = PadConfig.for_graphs(graphs)
     G = pad.max_graphs
     if len(graphs) > G:
         raise ValueError(f"{len(graphs)} graphs > max_graphs={G}")
-    for g in graphs:
-        g.ensure_levels()
+    if build_schedules:
+        for g in graphs:
+            g.ensure_levels()
 
     n = sum(g.num_nodes for g in graphs)
     e = sum(g.num_edges for g in graphs)
@@ -196,8 +206,11 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None) -> DAGB
     np.cumsum([g.num_nodes for g in graphs], out=offsets[1:])
     src = np.concatenate([g.edge_src + o for g, o in zip(graphs, offsets)]) if e else np.zeros(0, np.int64)
     dst = np.concatenate([g.edge_dst + o for g, o in zip(graphs, offsets)]) if e else np.zeros(0, np.int64)
-    lvl_f = np.concatenate([g.level_fwd for g in graphs]) if n else np.zeros(0, np.int64)
-    lvl_r = np.concatenate([g.level_rev for g in graphs]) if n else np.zeros(0, np.int64)
+    if build_schedules:
+        lvl_f = np.concatenate([g.level_fwd for g in graphs]) if n else np.zeros(0, np.int64)
+        lvl_r = np.concatenate([g.level_rev for g in graphs]) if n else np.zeros(0, np.int64)
+    else:
+        lvl_f = lvl_r = np.zeros(n, np.int64)
 
     x0 = np.concatenate([np.asarray(g.x) for g in graphs], axis=0)
     x = np.zeros((N + 1,) + x0.shape[1:], dtype=x0.dtype)
@@ -222,13 +235,25 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None) -> DAGB
         nodes_per_level=pad.nodes_per_level,
         edges_per_level=pad.edges_per_level,
     )
-    fwd = build_level_schedule(src, dst, _padded_levels(lvl_f, n), n, **common)
-    rev = build_level_schedule(dst, src, _padded_levels(lvl_r, n), n, **common)
+    if build_schedules:
+        fwd = build_level_schedule(src, dst, _padded_levels(lvl_f, n), n, **common)
+        rev = build_level_schedule(dst, src, _padded_levels(lvl_r, n), n, **common)
+    else:
+        empty = np.zeros(0, np.int64)
+        fwd = build_level_schedule(empty, empty, np.zeros(0, np.int64), 0, **common)
+        rev = fwd
 
     out_mask_fwd = np.zeros(N + 1, dtype=bool)
     out_mask_fwd[:n] = lvl_r == 0     # reference _get_output_nodes: rev-level 0
     out_mask_rev = np.zeros(N + 1, dtype=bool)
     out_mask_rev[:n] = lvl_f == 0     # reverse readout uses fwd-level 0
+
+    src_flat = np.full(E + 1, N, dtype=np.int32)
+    dst_flat = np.full(E + 1, N, dtype=np.int32)
+    emask_flat = np.zeros(E + 1, dtype=bool)
+    src_flat[:e] = src
+    dst_flat[:e] = dst
+    emask_flat[:e] = True
 
     graph_mask = np.zeros(G, dtype=bool)
     graph_mask[: len(graphs)] = True
@@ -264,6 +289,9 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None) -> DAGB
         n_graph=np.asarray(len(graphs), dtype=np.int32),
         extras=extras,
         y=y,
+        edge_src_flat=src_flat,
+        edge_dst_flat=dst_flat,
+        edge_mask_flat=emask_flat,
     )
 
 

@@ -47,6 +47,7 @@ class DAGLoader:
         n_shards: int = 1,
         drop_last: bool = False,
         prefetch: int = 2,
+        schedules: bool = True,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -56,6 +57,7 @@ class DAGLoader:
         self.n_shards = n_shards
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.schedules = schedules
         self._pad: Optional[PadConfig] = None
 
     def _epoch_batches(self) -> List[List[DAGGraph]]:
@@ -79,7 +81,16 @@ class DAGLoader:
             for s in shards:
                 if not s:
                     continue
-                c = PadConfig.for_graphs(s, chunk_size=self.chunk_size)
+                if self.schedules:
+                    c = PadConfig.for_graphs(s, chunk_size=self.chunk_size)
+                else:
+                    # cyclic baseline graphs: counts only, no leveling
+                    c = PadConfig(
+                        max_nodes=sum(g.num_nodes for g in s),
+                        max_edges=max(1, sum(g.num_edges for g in s)),
+                        max_graphs=len(s), max_levels=1,
+                        nodes_per_level=1, edges_per_level=1,
+                    )
                 if worst is None:
                     worst = c
                 else:
@@ -109,8 +120,8 @@ class DAGLoader:
     def _collate(self, graphs: List[DAGGraph], pad: PadConfig) -> DAGBatch:
         if self.n_shards > 1:
             shards = split_by_nodes(graphs, self.n_shards)
-            return stack_batches([collate(s, pad) for s in shards])
-        return collate(graphs, pad)
+            return stack_batches([collate(s, pad, self.schedules) for s in shards])
+        return collate(graphs, pad, self.schedules)
 
     def __iter__(self) -> Iterator[DAGBatch]:
         batches = self._epoch_batches()
