@@ -53,6 +53,13 @@ def topo_levels(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int32)
     src = np.asarray(src, dtype=np.int64).ravel()
     dst = np.asarray(dst, dtype=np.int64).ravel()
+
+    # native C path (csrc/dagcore.cpp) when available — identical semantics
+    from dagnn_tpu.dag import native
+    out = native.native_topo_levels(src, dst, num_nodes)
+    if out is not None:
+        return out
+
     indeg = np.bincount(dst, minlength=num_nodes).astype(np.int64)
     level = np.zeros(num_nodes, dtype=np.int32)
     frontier = np.flatnonzero(indeg == 0)
