@@ -169,6 +169,12 @@ def aggregate_level(
     else:
         raise ValueError(f"unknown aggregator kind {spec.kind}")
 
+    if impl == "pallas":
+        from dagnn_tpu.ops.pallas import pallas_edge_softmax_aggregate
+        import jax as _jax
+        interp = _jax.default_backend() != "tpu"
+        return pallas_edge_softmax_aggregate(scores, value_src, edge_dst,
+                                             edge_mask, num_slots, interp)
     if P is not None:
         return dense_edge_softmax_aggregate(scores, value_src, edge_dst, P)
     return edge_softmax_aggregate(scores, value_src, edge_dst, num_slots,
