@@ -22,6 +22,12 @@ import numpy as np
 import optax
 
 
+def _cpu():
+    """The GP is a small host-side scoring tool; f32 accelerator Cholesky of
+    near-singular kernels NaNs where CPU f64 is fine — pin it to CPU."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 @dataclasses.dataclass
 class SparseGP:
     params: dict
@@ -82,24 +88,28 @@ def fit_sparse_gp(
     rng = np.random.default_rng(seed)
     M = min(M, n)
     Z0 = X[rng.choice(n, M, replace=False)]
+    # break exact duplicates (undertrained encoders emit near-identical
+    # latents; duplicated inducing points make Kmm singular beyond jitter)
+    Z0 = Z0 + 1e-4 * (X.std(0) + 1e-6) * rng.standard_normal(Z0.shape)
     p = {
         "Z": jnp.asarray(Z0),
         "log_ls": jnp.log(jnp.asarray(X.std(0) + 1e-3) * np.sqrt(d)),
         "log_sf2": jnp.asarray(np.log(y.var() + 1e-3)),
         "log_sn2": jnp.asarray(np.log(y.var() * 0.1 + 1e-3)),
     }
-    Xj, yj = jnp.asarray(X), jnp.asarray(y)
-    opt = optax.adam(lr)
-    state = opt.init(p)
+    with _cpu():
+        Xj, yj = jnp.asarray(X), jnp.asarray(y)
+        opt = optax.adam(lr)
+        state = opt.init(p)
 
-    @jax.jit
-    def step(p, state):
-        loss, g = jax.value_and_grad(lambda q: -_titsias_bound(q, Xj, yj))(p)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(p, updates), state, loss
+        @jax.jit
+        def step(p, state):
+            loss, g = jax.value_and_grad(lambda q: -_titsias_bound(q, Xj, yj))(p)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(p, updates), state, loss
 
-    for _ in range(iters):
-        p, state, loss = step(p, state)
+        for _ in range(iters):
+            p, state, loss = step(p, state)
     return SparseGP(params=jax.tree.map(np.asarray, p), X=X, y=y)
 
 
@@ -121,6 +131,11 @@ def _posterior_cache(gp: SparseGP):
 
 def predict(gp: SparseGP, Xs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Posterior mean and variance (incl. noise-free latent var)."""
+    with _cpu():
+        return _predict_impl(gp, Xs)
+
+
+def _predict_impl(gp, Xs):
     p, Lm, Lb, c = _posterior_cache(gp)
     Kms = _kernel(p, p["Z"], jnp.asarray(Xs))
     tmp1 = jax.scipy.linalg.solve_triangular(Lm, Kms, lower=True)
@@ -164,6 +179,13 @@ def batched_greedy_ei(
     pick/refine the best-EI point; selected points join the train set with
     their predicted mean (Kriging believer) so the batch spreads out.
     """
+    with _cpu():
+        return _batched_greedy_ei_impl(gp, q, lower, upper, mean, std, sample,
+                                       grid_size, refine_iters, seed)
+
+
+def _batched_greedy_ei_impl(gp, q, lower, upper, mean, std, sample,
+                            grid_size, refine_iters, seed):
     rng = np.random.default_rng(seed)
     d = gp.d_input
     if sample == "normal":
