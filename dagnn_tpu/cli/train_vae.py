@@ -36,6 +36,8 @@ from dagnn_tpu.vae.dagnn_vae import (DAGNNVAEConfig, dagnn_vae_init,
 from dagnn_tpu.vae.dvae import (DVAEConfig, dvae_base_init,
                                 dvae_encode_sequential, dvae_teacher_loss,
                                 kld, reparameterize)
+from dagnn_tpu.vae.svae import (SVAEConfig, svae_init, svae_encode,
+                                svae_loss, graph_to_string_tensor)
 
 
 def parse_args(argv=None):
@@ -47,7 +49,8 @@ def parse_args(argv=None):
     p.add_argument("--data-type", default="ENAS", choices=["ENAS", "BN"])
     p.add_argument("--nvt", type=int, default=6)
     p.add_argument("--model", default="DAGNN",
-                   choices=["DAGNN", "DAGNN_BN", "DVAE", "DVAE_BN"])
+                   choices=["DAGNN", "DAGNN_BN", "DVAE", "DVAE_BN",
+                            "SVAE", "SVAE_oneshot"])
     p.add_argument("--hs", type=int, default=501)
     p.add_argument("--nz", type=int, default=56)
     p.add_argument("--bidirectional", action="store_true")
@@ -115,7 +118,13 @@ class VAEModel:
     def __init__(self, args, ga: GraphArgs):
         self.kind = args.model
         self.ga = ga
-        if args.model.startswith("DAGNN"):
+        if args.model.startswith("SVAE"):
+            self.cfg = SVAEConfig(
+                max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs,
+                nz=args.nz, bidirectional=args.bidirectional,
+                oneshot="oneshot" in args.model)
+            self.init = lambda key: svae_init(key, self.cfg)
+        elif args.model.startswith("DAGNN"):
             self.cfg = DAGNNVAEConfig(
                 max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs, nz=args.nz,
                 num_layers=args.dagnn_layers, bidirectional=args.bidirectional,
@@ -134,6 +143,9 @@ class VAEModel:
             self.init = lambda key: dvae_base_init(key, self.cfg)
 
     def prepare(self, graphs: List[NAGraph]):
+        if self.kind.startswith("SVAE"):
+            G = np.stack([graph_to_string_tensor(g, self.cfg) for g in graphs])
+            return (None, G, None, np.zeros(len(graphs), np.int32))
         if self.kind.startswith("DAGNN"):
             return na_collate(graphs, self.cfg, pad_graphs=None)
         types, adj, nv = na_dense_views(graphs, self.cfg.max_n)
@@ -141,6 +153,8 @@ class VAEModel:
 
     def loss(self, params, prepared, rng, training=True):
         batch, types, adj, nv = prepared
+        if self.kind.startswith("SVAE"):
+            return svae_loss(params, self.cfg, jnp.asarray(types), rng, training)
         types, adj, nv = jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv)
         if self.kind.startswith("DAGNN"):
             return dagnn_vae_loss(params, self.cfg, batch, types, adj, nv, rng,
@@ -153,6 +167,9 @@ class VAEModel:
 
     def encode_mu(self, params, prepared):
         batch, types, adj, nv = prepared
+        if self.kind.startswith("SVAE"):
+            mu, _ = svae_encode(params, self.cfg, jnp.asarray(types))
+            return mu
         if self.kind.startswith("DAGNN"):
             mu, _ = dagnn_vae_encode(params, self.cfg, batch)
             return mu[: len(types)]
