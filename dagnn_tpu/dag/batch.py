@@ -121,6 +121,10 @@ class PadConfig:
     max_levels: int
     nodes_per_level: int
     edges_per_level: int
+    # width of the backward transpose schedule (see schedule.py tgrad_*);
+    # 0 = derive exactly per batch (fine for one-off collates; bucketed
+    # loaders should set it for shape stability)
+    tgrad_per_level: int = 0
 
     @classmethod
     def for_graphs(
@@ -158,12 +162,13 @@ class PadConfig:
         lvl_r = (np.concatenate([g.level_rev for g in graphs]) if n
                  else np.zeros(0, np.int64))
 
-        rows = kn = ke = 0
+        rows = kn = ke = kt = 0
         for ms, md, lv in ((src, dst, lvl_f), (dst, src, lvl_r)):
             s = build_level_schedule(ms, md, lv, n, nodes_per_level=chunk_size)
             rows = max(rows, int(s.num_levels))
             kn = max(kn, s.nodes_per_level)
             ke = max(ke, s.edges_per_level)
+            kt = max(kt, s.tgrad_per_level)
         return cls(
             max_nodes=_round_up(max(n, 1), node_mult),
             max_edges=_round_up(max(e, 1), edge_mult),
@@ -171,6 +176,7 @@ class PadConfig:
             max_levels=_round_up(max(rows, 1), level_mult),
             nodes_per_level=chunk_size or _round_up(max(kn, 1), width_mult),
             edges_per_level=_round_up(max(ke, 1), width_mult),
+            tgrad_per_level=_round_up(max(kt, 1), width_mult),
         )
 
 
@@ -234,6 +240,7 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         max_levels=pad.max_levels,
         nodes_per_level=pad.nodes_per_level,
         edges_per_level=pad.edges_per_level,
+        tgrad_per_level=pad.tgrad_per_level or None,
     )
     if build_schedules:
         fwd = build_level_schedule(src, dst, _padded_levels(lvl_f, n), n, **common)

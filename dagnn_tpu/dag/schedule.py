@@ -57,6 +57,18 @@ class LevelSchedule(NamedTuple):
     edge_mask: np.ndarray  # [L, Ke] bool
     node_slot: np.ndarray  # [n_pad + 1] int32 — flat slot of each node, pad = L*Kn
     num_levels: np.ndarray  # [] int32 — true level count (<= L)
+    # TRANSPOSE schedule (consumed only by the custom backward): for each row
+    # r, the edges whose message-SOURCE node sits in row r — i.e. the edges
+    # through which gradient flows back INTO row r's outputs. Lets the
+    # backward replace its per-step scatter-add with a contiguous per-edge
+    # gradient buffer + gather (sources are in strictly earlier rows than
+    # their edges, so when the reverse scan reaches row r every consuming
+    # edge's gradient has already been written).
+    # Optional: absent (None) for schedules that never run the custom
+    # backward, e.g. the device-partitioned re-chunking in parallel/.
+    tgrad_eslot: Optional[np.ndarray] = None  # [L, Kt] int32 — flat edge slot (row*Ke+col), pad = L*Ke
+    tgrad_dst: Optional[np.ndarray] = None    # [L, Kt] int32 — local source slot in [0, Kn], pad = Kn
+    tgrad_mask: Optional[np.ndarray] = None   # [L, Kt] bool
 
     @property
     def max_levels(self) -> int:
@@ -70,6 +82,10 @@ class LevelSchedule(NamedTuple):
     def edges_per_level(self) -> int:
         return self.edge_src.shape[1]
 
+    @property
+    def tgrad_per_level(self) -> int:
+        return 0 if self.tgrad_eslot is None else self.tgrad_eslot.shape[1]
+
 
 def build_level_schedule(
     msg_src: np.ndarray,
@@ -82,6 +98,7 @@ def build_level_schedule(
     max_levels: Optional[int] = None,
     nodes_per_level: Optional[int] = None,
     edges_per_level: Optional[int] = None,
+    tgrad_per_level: Optional[int] = None,
 ) -> LevelSchedule:
     """Build the dense wavefront schedule for one direction.
 
@@ -180,6 +197,33 @@ def build_level_schedule(
         edge_id_arr[e_sorted_row, e_slot] = edge_id[edge_order]
         edge_mask[e_sorted_row, e_slot] = True
 
+    # --- transpose schedule: group edges by the ROW OF THEIR SOURCE ---
+    if E > 0:
+        src_sorted = msg_src[edge_order]
+        fslot = e_sorted_row * Ke + e_slot            # flat edge slot
+        srow = node_row[src_sorted]
+        spos = node_pos[src_sorted]
+        torder = np.lexsort((fslot, spos, srow))
+        t_row = srow[torder]
+        trow_counts = np.bincount(t_row, minlength=max(num_rows, 1))
+        kt = int(trow_counts.max())
+        trow_starts = np.zeros(max(num_rows, 1) + 1, dtype=np.int64)
+        np.cumsum(trow_counts, out=trow_starts[1:])
+        t_slot = np.arange(E) - trow_starts[t_row]
+    else:
+        kt = 0
+    Kt = tgrad_per_level if tgrad_per_level is not None else kt
+    if kt > Kt:
+        raise ValueError(f"transpose row width {kt} > tgrad_per_level={Kt}")
+    eflat_pad = R * Ke
+    tgrad_eslot = np.full((R, Kt), eflat_pad, dtype=np.int32)
+    tgrad_dst = np.full((R, Kt), Kn, dtype=np.int32)
+    tgrad_mask = np.zeros((R, Kt), dtype=bool)
+    if E > 0:
+        tgrad_eslot[t_row, t_slot] = fslot[torder]
+        tgrad_dst[t_row, t_slot] = spos[torder]
+        tgrad_mask[t_row, t_slot] = True
+
     return LevelSchedule(
         node_ids=node_ids,
         node_mask=node_mask,
@@ -190,4 +234,7 @@ def build_level_schedule(
         edge_mask=edge_mask,
         node_slot=node_flat_slot,
         num_levels=np.asarray(num_rows, dtype=np.int32),
+        tgrad_eslot=tgrad_eslot,
+        tgrad_dst=tgrad_dst,
+        tgrad_mask=tgrad_mask,
     )

@@ -31,6 +31,7 @@ def _round_cfg(cfg: PadConfig, mult: int = 64) -> PadConfig:
         max_edges=r(cfg.max_edges),
         max_levels=((cfg.max_levels + 7) // 8) * 8,
         edges_per_level=((cfg.edges_per_level + 31) // 32) * 32,
+        tgrad_per_level=((cfg.tgrad_per_level + 31) // 32) * 32,
     )
 
 
@@ -101,6 +102,7 @@ class DAGLoader:
                         max_levels=max(worst.max_levels, c.max_levels),
                         nodes_per_level=max(worst.nodes_per_level, c.nodes_per_level),
                         edges_per_level=max(worst.edges_per_level, c.edges_per_level),
+                        tgrad_per_level=max(worst.tgrad_per_level, c.tgrad_per_level),
                     )
         worst = _round_cfg(worst)
         if self._pad is not None:
@@ -110,7 +112,8 @@ class DAGLoader:
                     and p.max_graphs >= worst.max_graphs
                     and p.max_levels >= worst.max_levels
                     and p.nodes_per_level >= worst.nodes_per_level
-                    and p.edges_per_level >= worst.edges_per_level):
+                    and p.edges_per_level >= worst.edges_per_level
+                    and p.tgrad_per_level >= worst.tgrad_per_level):
                 return p
             worst = PadConfig(*[max(a, b) for a, b in
                                 zip(dataclasses.astuple(p), dataclasses.astuple(worst))])

@@ -320,29 +320,56 @@ def _wavefront_bwd(static, res, g):
     cfg, L, kn = static
     params_dir, fxs, ixs, h_final = res
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
+    # Transpose-schedule backward (preferred): instead of scatter-adding each
+    # row's predecessor-state gradients dv into the full [L*Kn+1, H] buffer
+    # (a random-access scatter per step — slow on TPU), write dv CONTIGUOUSLY
+    # into a per-edge-slot gradient buffer; when the reverse scan reaches row
+    # r, every edge consuming row r's outputs (they live in strictly later
+    # rows) has already written its gradient, so the incoming cotangent is a
+    # gather via tgrad_eslot + a row-local segment-sum via tgrad_dst.
+    use_t = ("teslot" in ixs) and not cfg.agg_x
+    ke = ixs["eslot"].shape[1]
 
     def bwd_step(carry, xs):
-        d_h, d_params = carry
+        acc, d_params = carry
         fxs_l, ixs_l = xs
-        offset = ixs_l["lvl"] * kn
+        lvl = ixs_l["lvl"]
         eslot = ixs_l["eslot"]
         vals = _gather_vals(cfg, h_final, eslot)
-        g_out = jax.lax.dynamic_slice(
-            d_h, (0, offset, 0), (cfg.num_layers, kn, cfg.hidden_dim))
+        if use_t:
+            g_out = jax.lax.dynamic_slice(
+                g, (0, lvl * kn, 0), (cfg.num_layers, kn, cfg.hidden_dim))
+            tg = acc[:, ixs_l["teslot"], :]  # [Lyr, Kt, H] edge grads into this row
+            tg = jnp.where(ixs_l["tmask"][None, :, None], tg, 0)
+            if cfg.segment_impl == "dense":
+                oh = jax.nn.one_hot(ixs_l["tdst"], kn, dtype=tg.dtype)  # [Kt, kn]
+                g_out = g_out + jnp.einsum("lkh,kn->lnh", tg, oh)
+            else:
+                g_out = g_out + jax.vmap(
+                    lambda t: jax.ops.segment_sum(
+                        t, ixs_l["tdst"], num_segments=kn + 1,
+                        indices_are_sorted=True))(tg)[:, :kn, :]
+        else:
+            g_out = jax.lax.dynamic_slice(
+                acc, (0, lvl * kn, 0), (cfg.num_layers, kn, cfg.hidden_dim))
 
         def f(p, v, fl):
             return _step_outs(cfg, p, specs, v, fl, ixs_l)
 
         _, vjp_fn = jax.vjp(f, params_dir, vals, fxs_l)
         dp, dv, dfl = vjp_fn(g_out)
-        if not cfg.agg_x:
-            d_h = d_h.at[:, eslot, :].add(dv)
+        if use_t:
+            acc = jax.lax.dynamic_update_slice(acc, dv, (0, lvl * ke, 0))
+        elif not cfg.agg_x:
+            acc = acc.at[:, eslot, :].add(dv)
         d_params = jax.tree.map(jnp.add, d_params, dp)
-        return (d_h, d_params), dfl
+        return (acc, d_params), dfl
 
+    acc0 = (jnp.zeros((cfg.num_layers, L * ke + 1, cfg.hidden_dim), g.dtype)
+            if use_t else g)
     d_params0 = jax.tree.map(jnp.zeros_like, params_dir)
-    (d_h, d_params), d_fxs = jax.lax.scan(
-        bwd_step, (g, d_params0), (fxs, ixs), reverse=True)
+    (_, d_params), d_fxs = jax.lax.scan(
+        bwd_step, (acc0, d_params0), (fxs, ixs), reverse=True)
     d_ixs = jax.tree.map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), ixs)
     return d_params, d_fxs, d_ixs
@@ -391,6 +418,12 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
         "edst": jnp.asarray(sched.edge_dst),
         "emask": jnp.asarray(sched.edge_mask),
     }
+    if sched.tgrad_eslot is not None and not cfg.agg_x:
+        # transpose schedule: consumed only by the custom backward (the
+        # forward scan body ignores these keys; XLA dead-code-eliminates them)
+        ixs["teslot"] = jnp.asarray(sched.tgrad_eslot)
+        ixs["tdst"] = jnp.asarray(sched.tgrad_dst)
+        ixs["tmask"] = jnp.asarray(sched.tgrad_mask)
 
     h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
     # back to node space for readouts / VAE index arithmetic
