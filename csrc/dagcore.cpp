@@ -8,6 +8,7 @@
 //
 // Build: cc -O2 -shared -fPIC -o libdagcore.so dagcore.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -87,6 +88,61 @@ int64_t dag_row_assign(const int32_t* level, int64_t n, int64_t chunk,
         int64_t slot = seen[l]++;
         out_row[i] = (int32_t)(row_base[l] + slot / chunk);
         out_pos[i] = (int32_t)(slot % chunk);
+    }
+    return row_base[L];
+}
+
+// Balanced row/slot assignment (dag/schedule.py balance=True semantics):
+// nodes within a level are dealt serpentine in descending (in+out)-degree
+// order across the level's rows, evening per-row edge loads; levels with
+// more than rows*edge_budget incoming edges get extra rows (edge_budget=0
+// disables). indeg/outdeg: per-node degree arrays. Returns row count.
+int64_t dag_row_assign_balanced(const int32_t* level, const int64_t* indeg,
+                                const int64_t* outdeg, int64_t n,
+                                int64_t chunk, int64_t edge_budget,
+                                int32_t* out_row, int32_t* out_pos) {
+    int32_t max_lvl = -1;
+    for (int64_t i = 0; i < n; ++i)
+        if (level[i] > max_lvl) max_lvl = level[i];
+    int64_t L = (int64_t)max_lvl + 1;
+    if (L <= 0) return 0;
+    std::vector<int64_t> counts(L, 0), lvl_edges(L, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        counts[level[i]]++;
+        lvl_edges[level[i]] += indeg[i];
+    }
+    std::vector<int64_t> rows_pl(L, 0), row_base(L + 1, 0);
+    for (int64_t l = 0; l < L; ++l) {
+        int64_t rows = (counts[l] + chunk - 1) / chunk;
+        if (rows < 1) rows = 1;
+        if (edge_budget > 0) {
+            int64_t by_edges = (lvl_edges[l] + edge_budget - 1) / edge_budget;
+            int64_t cap = counts[l] > 0 ? counts[l] : 1;
+            if (by_edges > cap) by_edges = cap;
+            if (by_edges > rows) rows = by_edges;
+        }
+        rows_pl[l] = rows;
+        row_base[l + 1] = row_base[l] + rows;
+    }
+    // bucket nodes by level in id order, then stable-sort each bucket by
+    // descending load (ties keep id order) — matches numpy lexsort keys
+    std::vector<int64_t> lvl_start(L + 1, 0);
+    for (int64_t l = 0; l < L; ++l) lvl_start[l + 1] = lvl_start[l] + counts[l];
+    std::vector<int64_t> bucket(n), fill(L, 0);
+    for (int64_t i = 0; i < n; ++i)
+        bucket[lvl_start[level[i]] + fill[level[i]]++] = i;
+    for (int64_t l = 0; l < L; ++l) {
+        int64_t* b = bucket.data() + lvl_start[l];
+        std::stable_sort(b, b + counts[l], [&](int64_t a, int64_t c) {
+            return indeg[a] + outdeg[a] > indeg[c] + outdeg[c];
+        });
+        int64_t r = rows_pl[l];
+        for (int64_t k = 0; k < counts[l]; ++k) {
+            int64_t pass = k / r, pip = k % r;
+            int64_t row_in_lvl = (pass % 2 == 0) ? pip : r - 1 - pip;
+            out_row[b[k]] = (int32_t)(row_base[l] + row_in_lvl);
+            out_pos[b[k]] = (int32_t)pass;
+        }
     }
     return row_base[L];
 }

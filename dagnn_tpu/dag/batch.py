@@ -125,6 +125,10 @@ class PadConfig:
     # 0 = derive exactly per batch (fine for one-off collates; bucketed
     # loaders should set it for shape stability)
     tgrad_per_level: int = 0
+    # row split policy (must match between pad measurement and collate):
+    # levels with more than rows*edge_budget edges get extra scan rows
+    # (see schedule.py). 0 = split by node count only.
+    edge_budget: int = 0
 
     @classmethod
     def for_graphs(
@@ -135,6 +139,7 @@ class PadConfig:
         level_mult: int = 1,
         width_mult: int = 8,
         chunk_size: Optional[int] = None,
+        edge_budget: int = 0,
     ) -> "PadConfig":
         """Exact-fit config for a batch, rounded to hardware-friendly
         multiples.
@@ -164,7 +169,8 @@ class PadConfig:
 
         rows = kn = ke = kt = 0
         for ms, md, lv in ((src, dst, lvl_f), (dst, src, lvl_r)):
-            s = build_level_schedule(ms, md, lv, n, nodes_per_level=chunk_size)
+            s = build_level_schedule(ms, md, lv, n, nodes_per_level=chunk_size,
+                                     edge_budget=edge_budget or None)
             rows = max(rows, int(s.num_levels))
             kn = max(kn, s.nodes_per_level)
             ke = max(ke, s.edges_per_level)
@@ -177,6 +183,7 @@ class PadConfig:
             nodes_per_level=chunk_size or _round_up(max(kn, 1), width_mult),
             edges_per_level=_round_up(max(ke, 1), width_mult),
             tgrad_per_level=_round_up(max(kt, 1), width_mult),
+            edge_budget=edge_budget,
         )
 
 
@@ -241,6 +248,7 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         nodes_per_level=pad.nodes_per_level,
         edges_per_level=pad.edges_per_level,
         tgrad_per_level=pad.tgrad_per_level or None,
+        edge_budget=pad.edge_budget or None,
     )
     if build_schedules:
         fwd = build_level_schedule(src, dst, _padded_levels(lvl_f, n), n, **common)

@@ -61,6 +61,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dag_row_assign.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                        i32p, i32p]
         lib.dag_row_assign.restype = ctypes.c_int64
+        lib.dag_row_assign_balanced.argtypes = [
+            i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i32p, i32p]
+        lib.dag_row_assign_balanced.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -105,4 +109,22 @@ def native_row_assign(level, chunk: int) -> Optional[Tuple[np.ndarray, np.ndarra
     row = np.zeros(n, np.int32)
     pos = np.zeros(n, np.int32)
     rows = lib.dag_row_assign(level, n, chunk, row, pos)
+    return row, pos, int(rows)
+
+
+def native_row_assign_balanced(
+    level, indeg, outdeg, chunk: int, edge_budget: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """Degree-balanced row assignment (schedule.py balance=True semantics)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    level = np.ascontiguousarray(level, np.int32)
+    indeg = np.ascontiguousarray(indeg, np.int64)
+    outdeg = np.ascontiguousarray(outdeg, np.int64)
+    n = len(level)
+    row = np.zeros(n, np.int32)
+    pos = np.zeros(n, np.int32)
+    rows = lib.dag_row_assign_balanced(level, indeg, outdeg, n, chunk,
+                                       edge_budget, row, pos)
     return row, pos, int(rows)

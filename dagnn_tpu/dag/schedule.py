@@ -99,6 +99,8 @@ def build_level_schedule(
     nodes_per_level: Optional[int] = None,
     edges_per_level: Optional[int] = None,
     tgrad_per_level: Optional[int] = None,
+    balance: bool = True,
+    edge_budget: Optional[int] = None,
 ) -> LevelSchedule:
     """Build the dense wavefront schedule for one direction.
 
@@ -116,6 +118,15 @@ def build_level_schedule(
         e_pad: padding edge id (defaults to E).
         max_levels / nodes_per_level / edges_per_level: static shape targets;
             defaults to the exact maxima of this graph.
+        balance: permute nodes WITHIN each level (legal: level peers are
+            mutually independent) so per-row edge loads even out — serpentine
+            assignment by descending (in+out) degree. Shrinks the padded row
+            edge width Ke from the skewed max toward the level mean; pure
+            layout change, node-space results identical.
+        edge_budget: when set, levels whose edge count exceeds
+            rows*edge_budget are split into EXTRA rows (beyond the node-count
+            minimum) targeting ~edge_budget edges per row — trades scan
+            length for row width on degree-heavy levels.
     """
     msg_src = np.asarray(msg_src, dtype=np.int64).ravel()
     msg_dst = np.asarray(msg_dst, dtype=np.int64).ravel()
@@ -145,11 +156,37 @@ def build_level_schedule(
     # --- rows: split levels into fixed-width chunks of Kn ---
     Kn = nodes_per_level if nodes_per_level is not None else max(kn, 1)
     rows_per_level = np.maximum((lvl_counts + Kn - 1) // Kn, 1)
+    if edge_budget and E > 0:
+        lvl_edges = np.bincount(level[msg_dst], minlength=num_levels)
+        by_edges = (lvl_edges + edge_budget - 1) // edge_budget
+        rows_per_level = np.maximum(
+            rows_per_level, np.minimum(np.maximum(lvl_counts, 1), by_edges))
     row_base = np.zeros(num_levels + 1, dtype=np.int64)
     np.cumsum(rows_per_level, out=row_base[1:])
     num_rows = int(row_base[-1]) if num_levels > 0 else 0
-    node_row = row_base[level] + node_slot // Kn if num_nodes else np.zeros(0, np.int64)
-    node_pos = node_slot % Kn if num_nodes else np.zeros(0, np.int64)
+    if balance and E > 0 and num_nodes > 0:
+        # serpentine by descending degree: rank nodes within each level by
+        # (in+out) degree, deal them across the level's rows alternating
+        # direction each pass — near-optimal max-load partition, and node
+        # positions stay contiguous (pos = pass index < Kn).
+        load = (np.bincount(msg_dst, minlength=num_nodes)
+                + np.bincount(msg_src, minlength=num_nodes))
+        border = np.lexsort((np.arange(num_nodes), -load, level))
+        rank = np.arange(num_nodes) - lvl_starts[level[border]]
+        r_lvl = rows_per_level[level[border]]
+        pass_, pip = np.divmod(rank, r_lvl)
+        row_in_lvl = np.where(pass_ % 2 == 0, pip, r_lvl - 1 - pip)
+        node_row = np.empty(num_nodes, dtype=np.int64)
+        node_pos = np.empty(num_nodes, dtype=np.int64)
+        node_row[border] = row_base[level[border]] + row_in_lvl
+        node_pos[border] = pass_
+    elif num_nodes:
+        # id-order chunking (also the no-edge case; budget splits need E>0)
+        node_row = row_base[level] + node_slot // Kn
+        node_pos = node_slot % Kn
+    else:
+        node_row = np.zeros(0, np.int64)
+        node_pos = np.zeros(0, np.int64)
 
     # --- edges: group by (row of target, pos of target) so per-row
     # segment ids arrive sorted ---

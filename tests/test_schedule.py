@@ -112,3 +112,69 @@ def test_collate_padding_buckets():
     assert (b.fwd.node_ids[~b.fwd.node_mask] == 16).all()
     assert (b.fwd.edge_src[~b.fwd.edge_mask] == 16).all()
     assert (b.fwd.edge_dst[~b.fwd.edge_mask] == 8).all()
+
+
+def test_schedule_edge_budget_and_balance():
+    """Budget row-splitting + degree balancing preserve the message set and
+    respect per-row budgets wherever a node's in-degree allows."""
+    rng = np.random.default_rng(7)
+    # skewed DAG: a level of hub nodes with many predecessors
+    src, dst = [], []
+    n = 60
+    for v in range(20, 40):          # level-1 hubs
+        for u in rng.choice(20, size=int(rng.integers(1, 16)), replace=False):
+            src.append(u); dst.append(v)
+    for v in range(40, 60):          # level-2 light nodes
+        src.append(int(rng.integers(20, 40))); dst.append(v)
+    src, dst = np.array(src), np.array(dst)
+    lv = topo_levels(src, dst, n)
+    base = build_level_schedule(src, dst, lv, n)
+    s = build_level_schedule(src, dst, lv, n, nodes_per_level=8, edge_budget=24)
+
+    # same message set either way
+    def messages(sch):
+        out = set()
+        for l in range(sch.max_levels):
+            for k in range(sch.edges_per_level):
+                if sch.edge_mask[l, k]:
+                    out.add((int(sch.edge_src[l, k]),
+                             int(sch.node_ids[l, int(sch.edge_dst[l, k])])))
+        return out
+
+    assert messages(base) == messages(s)
+    assert sorted(s.node_ids[s.node_mask].tolist()) == list(range(n))
+    # budget respected up to single-node indegree (unsplittable)
+    max_indeg = int(np.bincount(dst).max())
+    assert s.edge_mask.sum(axis=1).max() <= max(24 + max_indeg, max_indeg)
+    # rows only ever mix nodes of ONE topological level
+    row_lvls = np.where(s.node_mask, lv[s.node_ids.clip(max=n - 1)], -1)
+    for r in range(s.max_levels):
+        lvls = set(row_lvls[r][s.node_mask[r]].tolist())
+        assert len(lvls) <= 1
+    # sources precede their edge's row
+    node_row = np.full(n, -1)
+    rows, pos = np.nonzero(s.node_mask)
+    node_row[s.node_ids[rows, pos]] = rows
+    er, ek = np.nonzero(s.edge_mask)
+    assert (node_row[s.edge_src[er, ek]] < er).all()
+
+
+def test_collate_edge_budget_pad_roundtrip():
+    """PadConfig measured with a budget must fit its own collate."""
+    rng = np.random.default_rng(3)
+    graphs = []
+    for i in range(6):
+        nn = int(rng.integers(4, 30))
+        src, dst = [], []
+        for a in range(nn):
+            for b in range(a + 1, nn):
+                if rng.random() < 0.3:
+                    src.append(a); dst.append(b)
+        if not src:
+            src, dst = [0], [1]
+        graphs.append(make_graph(np.array(src), np.array(dst), nn, seed=i))
+    pad = PadConfig.for_graphs(graphs, chunk_size=8, edge_budget=12)
+    assert pad.edge_budget == 12
+    b = collate(graphs, pad)
+    assert b.fwd.edge_mask.sum() == b.n_edge
+    assert b.rev.edge_mask.sum() == b.n_edge
