@@ -27,6 +27,7 @@ from dagnn_tpu.data.dataloader import DAGLoader
 from dagnn_tpu.data.synthetic import synthetic_ast_batch
 from dagnn_tpu.nn.baselines import MPNNConfig, mpnn_init, mpnn_forward
 from dagnn_tpu.nn.dagnn import DAGNNConfig, dagnn_init, dagnn_forward
+from dagnn_tpu.nn.pooling_baselines import HPoolConfig, hpool_init, hpool_forward
 from dagnn_tpu.nn.encoders import EncoderSpec
 from dagnn_tpu.train import checkpoint as ckpt
 from dagnn_tpu.train.losses import tok_loss, class_loss
@@ -90,6 +91,16 @@ def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030)
                       num_nodetypes=num_nodetypes,
                       num_nodeattributes=num_nodeattributes,
                       max_depth=20)
+    if args.gnn in ("dgcnn", "diffpool", "unet", "sagpool", "asap"):
+        return HPoolConfig(
+            kind=args.gnn,
+            emb_dim=args.emb_dim,
+            dropout=args.dagnn_dropout,
+            num_vocab=args.num_vocab + 2 if task == "tok" else 0,
+            max_seq_len=args.max_seq_len,
+            num_class=LP_NUM_CLASSES if task == "lp" else 0,
+            encoder=enc,
+        )
     if args.gnn != "dagnn":
         base = args.gnn.replace("-virtual", "")
         return MPNNConfig(
@@ -154,7 +165,12 @@ def load_dataset(args, task: str):
 
 def make_step_fns(cfg, opt, task: str):
     is_dagnn = isinstance(cfg, DAGNNConfig)
-    fwd = dagnn_forward if is_dagnn else mpnn_forward
+    if is_dagnn:
+        fwd = dagnn_forward
+    elif isinstance(cfg, HPoolConfig):
+        fwd = hpool_forward
+    else:
+        fwd = mpnn_forward
 
     def loss_fn(params, batch, rng):
         logits = fwd(params, cfg, batch, rng=rng,
@@ -221,7 +237,12 @@ def run(args, task: str):
     fold_results = []
     for fold in range(start_fold, args.folds + 1):
         rng = jax.random.PRNGKey(args.seed + fold)
-        params = dagnn_init(rng, cfg) if is_dagnn else mpnn_init(rng, cfg)
+        if is_dagnn:
+            params = dagnn_init(rng, cfg)
+        elif isinstance(cfg, HPoolConfig):
+            params = hpool_init(rng, cfg)
+        else:
+            params = mpnn_init(rng, cfg)
         opt_state = opt.init(params)
         start_epoch = 1
         best = {"epoch": 0, "train": 0.0, "valid": -1.0, "test": 0.0}
