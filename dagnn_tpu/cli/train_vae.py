@@ -38,6 +38,10 @@ from dagnn_tpu.vae.dvae import (DVAEConfig, dvae_base_init,
                                 kld, reparameterize)
 from dagnn_tpu.vae.svae import (SVAEConfig, svae_init, svae_encode,
                                 svae_loss, graph_to_string_tensor)
+from dagnn_tpu.vae.dvae_variants import (
+    DVAEGCNConfig, dvae_gcn_init, dvae_gcn_encode, dvae_gcn_loss,
+    dvae_fast_init, dvae_fast_loss,
+    DeepGMGConfig, deepgmg_init, deepgmg_encode, deepgmg_loss)
 
 
 def parse_args(argv=None):
@@ -50,7 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--nvt", type=int, default=6)
     p.add_argument("--model", default="DAGNN",
                    choices=["DAGNN", "DAGNN_BN", "DVAE", "DVAE_BN",
-                            "SVAE", "SVAE_oneshot"])
+                            "SVAE", "SVAE_oneshot", "SVAE_GraphRNN",
+                            "SVAE_GraphRNN_BFS", "DVAE_GCN", "DVAE_fast",
+                            "DVAE_DeepGMG"])
     p.add_argument("--hs", type=int, default=501)
     p.add_argument("--nz", type=int, default=56)
     p.add_argument("--bidirectional", action="store_true")
@@ -122,8 +128,27 @@ class VAEModel:
             self.cfg = SVAEConfig(
                 max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs,
                 nz=args.nz, bidirectional=args.bidirectional,
-                oneshot="oneshot" in args.model)
+                oneshot="oneshot" in args.model,
+                graphrnn="GraphRNN" in args.model,
+                bfs="BFS" in args.model)
             self.init = lambda key: svae_init(key, self.cfg)
+            self._host_rng = np.random.default_rng(0)
+        elif args.model == "DVAE_GCN":
+            self.cfg = DVAEGCNConfig(
+                max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs,
+                nz=args.nz, bidirectional=args.bidirectional)
+            self.init = lambda key: dvae_gcn_init(key, self.cfg)
+        elif args.model == "DVAE_DeepGMG":
+            self.cfg = DeepGMGConfig(
+                max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs,
+                nz=args.nz, bidirectional=args.bidirectional)
+            self.init = lambda key: deepgmg_init(key, self.cfg)
+        elif args.model == "DVAE_fast":
+            self.cfg = DVAEConfig(
+                max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs,
+                nz=args.nz, num_layers=1,
+                bidirectional=args.bidirectional, vid=True)
+            self.init = lambda key: dvae_fast_init(key, self.cfg)
         elif args.model.startswith("DAGNN"):
             self.cfg = DAGNNVAEConfig(
                 max_n=ga.max_n, nvt=ga.num_vertex_type, hs=args.hs, nz=args.nz,
@@ -144,7 +169,9 @@ class VAEModel:
 
     def prepare(self, graphs: List[NAGraph]):
         if self.kind.startswith("SVAE"):
-            G = np.stack([graph_to_string_tensor(g, self.cfg) for g in graphs])
+            G = np.stack([graph_to_string_tensor(
+                g, self.cfg, getattr(self, "_host_rng", None))
+                for g in graphs])
             return (None, G, None, np.zeros(len(graphs), np.int32))
         if self.kind.startswith("DAGNN"):
             return na_collate(graphs, self.cfg, pad_graphs=None)
@@ -158,6 +185,13 @@ class VAEModel:
         types, adj, nv = jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv)
         if self.kind.startswith("DAGNN"):
             return dagnn_vae_loss(params, self.cfg, batch, types, adj, nv, rng,
+                                  training)
+        if self.kind == "DVAE_GCN":
+            return dvae_gcn_loss(params, self.cfg, types, adj, nv, rng, training)
+        if self.kind == "DVAE_DeepGMG":
+            return deepgmg_loss(params, self.cfg, types, adj, nv, rng, training)
+        if self.kind == "DVAE_fast":
+            return dvae_fast_loss(params, self.cfg, types, adj, nv, rng,
                                   training)
         mu, logvar = dvae_encode_sequential(params, self.cfg, types, adj, nv)
         z = reparameterize(rng, mu, logvar, self.cfg.eps_scale, training)
@@ -173,8 +207,12 @@ class VAEModel:
         if self.kind.startswith("DAGNN"):
             mu, _ = dagnn_vae_encode(params, self.cfg, batch)
             return mu[: len(types)]
-        mu, _ = dvae_encode_sequential(params, self.cfg, jnp.asarray(types),
-                                       jnp.asarray(adj), jnp.asarray(nv))
+        types, adj, nv = jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv)
+        if self.kind == "DVAE_GCN":
+            return dvae_gcn_encode(params, self.cfg, types, adj, nv)[0]
+        if self.kind == "DVAE_DeepGMG":
+            return deepgmg_encode(params, self.cfg, types, adj, nv)[0]
+        mu, _ = dvae_encode_sequential(params, self.cfg, types, adj, nv)
         return mu
 
 
