@@ -25,7 +25,8 @@ from typing import Dict, NamedTuple, Optional, Sequence
 import numpy as np
 
 from dagnn_tpu.dag.topo import topo_levels, reverse_levels
-from dagnn_tpu.dag.schedule import LevelSchedule, build_level_schedule
+from dagnn_tpu.dag.schedule import (LevelSchedule, build_level_schedule,
+                                    stagger_offsets)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -129,6 +130,11 @@ class PadConfig:
     # levels with more than rows*edge_budget edges get extra scan rows
     # (see schedule.py). 0 = split by node count only.
     edge_budget: int = 0
+    # stagger per-graph level offsets so independent graphs' levels pack
+    # densely into scan rows (see schedule.stagger_offsets). Requires a
+    # finite chunk width (nodes_per_level); 0 = all graphs aligned at
+    # level 0 (reference-equivalent layout).
+    stagger: int = 0
 
     @classmethod
     def for_graphs(
@@ -140,6 +146,7 @@ class PadConfig:
         width_mult: int = 8,
         chunk_size: Optional[int] = None,
         edge_budget: int = 0,
+        stagger: int = 0,
     ) -> "PadConfig":
         """Exact-fit config for a batch, rounded to hardware-friendly
         multiples.
@@ -167,8 +174,12 @@ class PadConfig:
         lvl_r = (np.concatenate([g.level_rev for g in graphs]) if n
                  else np.zeros(0, np.int64))
 
+        node_graph = np.repeat(np.arange(len(graphs)),
+                               [g.num_nodes for g in graphs])
         rows = kn = ke = kt = 0
         for ms, md, lv in ((src, dst, lvl_f), (dst, src, lvl_r)):
+            lv = _staggered(lv, node_graph, len(graphs), chunk_size,
+                            edge_budget, md, stagger)
             s = build_level_schedule(ms, md, lv, n, nodes_per_level=chunk_size,
                                      edge_budget=edge_budget or None)
             rows = max(rows, int(s.num_levels))
@@ -184,6 +195,7 @@ class PadConfig:
             edges_per_level=_round_up(max(ke, 1), width_mult),
             tgrad_per_level=_round_up(max(kt, 1), width_mult),
             edge_budget=edge_budget,
+            stagger=stagger,
         )
 
 
@@ -251,8 +263,15 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         edge_budget=pad.edge_budget or None,
     )
     if build_schedules:
-        fwd = build_level_schedule(src, dst, _padded_levels(lvl_f, n), n, **common)
-        rev = build_level_schedule(dst, src, _padded_levels(lvl_r, n), n, **common)
+        node_graph = graph_id[:n].astype(np.int64)
+        slvl_f = _staggered(lvl_f[:n], node_graph, len(graphs),
+                            pad.nodes_per_level, pad.edge_budget, dst,
+                            pad.stagger)
+        slvl_r = _staggered(lvl_r[:n], node_graph, len(graphs),
+                            pad.nodes_per_level, pad.edge_budget, src,
+                            pad.stagger)
+        fwd = build_level_schedule(src, dst, slvl_f, n, **common)
+        rev = build_level_schedule(dst, src, slvl_r, n, **common)
     else:
         empty = np.zeros(0, np.int64)
         fwd = build_level_schedule(empty, empty, np.zeros(0, np.int64), 0, **common)
@@ -312,3 +331,18 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
 
 def _padded_levels(levels: np.ndarray, n: int) -> np.ndarray:
     return levels[:n]
+
+
+def _staggered(lvl, node_graph, n_graphs, chunk, edge_budget, msg_dst,
+               enabled) -> np.ndarray:
+    """Apply per-graph stagger offsets to a direction's level array.
+
+    No-op unless enabled and a finite chunk width is set (without chunking
+    row width is derived from the max level width, which staggering would
+    itself change — chicken-and-egg; dense packing only makes sense with a
+    fixed row width)."""
+    if not enabled or not chunk or n_graphs <= 1 or lvl.size == 0:
+        return lvl
+    offs = stagger_offsets(lvl, node_graph, n_graphs, chunk,
+                           edge_budget=edge_budget or 0, edge_dst=msg_dst)
+    return lvl + offs[node_graph]

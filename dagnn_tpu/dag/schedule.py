@@ -87,6 +87,90 @@ class LevelSchedule(NamedTuple):
         return 0 if self.tgrad_eslot is None else self.tgrad_eslot.shape[1]
 
 
+def stagger_offsets(
+    level: np.ndarray,
+    node_graph: np.ndarray,
+    num_graphs: int,
+    kn: int,
+    edge_budget: int = 0,
+    edge_dst: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Per-graph level offsets that pack a batch's wavefront densely.
+
+    Batched DAGs are independent, so graph g's level l may execute in ANY
+    scan row as long as its own levels stay strictly ordered — adding a
+    per-graph constant offset to `level` preserves every dependency. The
+    reference aligns all graphs at level 0 (implicit in its per-level
+    masking, ogbg-code/model/dagnn.py:146-157), which leaves deep graphs'
+    narrow tail levels nearly empty. Here we choose offsets greedily
+    (deepest graph first, then best-fit start position) to minimise the
+    total padded row count: Σ_l rows(level l) under the same row-split
+    policy as `build_level_schedule` (node chunking by `kn`, optional
+    `edge_budget` splitting).
+
+    Args:
+        level: [n] topo level of each node (graph-local or batch — equal).
+        node_graph: [n] graph index of each node.
+        num_graphs: number of graphs.
+        kn: scan-row node width (chunk size).
+        edge_budget: row-split edge budget (0 = node-count splits only).
+        edge_dst: [E] global message-target node id per edge (for the
+            edge-budget term; ignored when edge_budget == 0).
+
+    Returns:
+        [num_graphs] int64 offsets; staggered level = level + off[graph].
+    """
+    level = np.asarray(level, dtype=np.int64).ravel()
+    node_graph = np.asarray(node_graph, dtype=np.int64).ravel()
+    if num_graphs <= 1 or level.size == 0:
+        return np.zeros(max(num_graphs, 1), dtype=np.int64)
+
+    # per-graph (width, edge-load) profiles over graph-local levels
+    depth = np.zeros(num_graphs, dtype=np.int64)
+    np.maximum.at(depth, node_graph, level + 1)
+    max_d = int(depth.max())
+    prof_w = np.zeros((num_graphs, max_d), dtype=np.int64)
+    np.add.at(prof_w, (node_graph, level), 1)
+    prof_e = np.zeros((num_graphs, max_d), dtype=np.int64)
+    if edge_budget and edge_dst is not None and len(edge_dst):
+        ed = np.asarray(edge_dst, dtype=np.int64).ravel()
+        np.add.at(prof_e, (node_graph[ed], level[ed]), 1)
+
+    def rows_of(w, ev):
+        r = np.maximum((w + kn - 1) // kn, (w > 0).astype(np.int64))
+        if edge_budget:
+            be = (ev + edge_budget - 1) // edge_budget
+            r = np.maximum(r, np.minimum(np.maximum(w, 1), be) * (w > 0))
+        return r
+
+    cap = int(depth.sum()) + max_d + 1
+    W = np.zeros(cap, dtype=np.int64)
+    Ev = np.zeros(cap, dtype=np.int64)
+    R = np.zeros(cap, dtype=np.int64)
+    offs = np.zeros(num_graphs, dtype=np.int64)
+    length = 0
+
+    order = np.lexsort((np.arange(num_graphs), -prof_w.sum(1), -depth))
+    from numpy.lib.stride_tricks import sliding_window_view
+    for g in order:
+        d = int(depth[g])
+        if d == 0:
+            continue
+        w, ev = prof_w[g, :d], prof_e[g, :d]
+        L = length
+        winW = sliding_window_view(W[: L + d], d)[: L + 1]
+        winE = sliding_window_view(Ev[: L + d], d)[: L + 1]
+        winR = sliding_window_view(R[: L + d], d)[: L + 1]
+        cost = rows_of(winW + w, winE + ev).sum(1) - winR.sum(1)
+        delta = int(np.argmin(cost))
+        offs[g] = delta
+        W[delta: delta + d] += w
+        Ev[delta: delta + d] += ev
+        R[delta: delta + d] = rows_of(W[delta: delta + d], Ev[delta: delta + d])
+        length = max(length, delta + d)
+    return offs
+
+
 def build_level_schedule(
     msg_src: np.ndarray,
     msg_dst: np.ndarray,
