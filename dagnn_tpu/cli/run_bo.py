@@ -51,7 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--bo-batch", type=int, default=50)
     p.add_argument("--decode-attempts", type=int, default=100)
     p.add_argument("--sample-dist", default="normal")
-    p.add_argument("--enas-corpus", default="/root/reference/dvae/data/final_structures6.txt")
+    p.add_argument("--enas-corpus", default=os.path.join(
+        os.path.dirname(__file__), "..", "..", "data",
+        "final_structures6.txt.gz"))
     p.add_argument("--hs", type=int, default=501)
     p.add_argument("--nz", type=int, default=56)
     p.add_argument("--dagnn_layers", type=int, default=2)

@@ -8,7 +8,6 @@ sparse-GP/BO evaluator), report test reconstruction NLL, resume from the
 latest checkpoint.
 
     python -m dagnn_tpu.cli.train_vae --cpu --data-name final_structures6 \
-        --data-path /root/reference/dvae/data/final_structures6.txt \
         --model DAGNN --epochs 5 --save-interval 5
 """
 
@@ -90,7 +89,10 @@ def load_data(args):
         with open(cache, "rb") as f:
             return pickle.load(f)
     if args.data_type == "ENAS":
-        path = args.data_path or "/root/reference/dvae/data/final_structures6.txt"
+        # the ENAS corpus ships with the repo (gzipped dataset asset)
+        path = args.data_path or os.path.join(
+            os.path.dirname(__file__), "..", "..", "data",
+            "final_structures6.txt.gz")
         tr, te, ga = load_enas(path, n_types=args.nvt, max_count=args.max_count)
     else:
         path = args.data_path

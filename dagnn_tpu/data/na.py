@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import ast
 import dataclasses
+import gzip
 import random
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
@@ -144,7 +145,8 @@ def na_graph_to_dag(g: NAGraph, num_vertex_type: int) -> DAGGraph:
 
 def _load_rows(path, parse, with_y: bool, burn_in: int):
     graphs = []
-    with open(path) as f:
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rt") as f:
         for i, line in enumerate(f):
             if i < burn_in:
                 continue

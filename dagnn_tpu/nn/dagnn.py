@@ -81,6 +81,13 @@ class DAGNNConfig:
     # wavefront compute dtype: "float32" (parity) or "bfloat16" (MXU-native;
     # params stay f32, states/matmuls run bf16, softmax internals f32)
     compute_dtype: str = "float32"
+    # bidirectional execution: run the two (independent) direction passes as
+    # ONE vmapped scan instead of two sequential scans. Semantically a pure
+    # layout change (results identical), but measured SLOWER on TPU v5e for
+    # the TOK shape (73k vs 359k edges/s): XLA assigns the batched carry a
+    # transposed layout ({2,3,0,1}) and copies it every step. Kept as an
+    # option for narrow-row workloads; default off.
+    stack_dirs: bool = False
 
     def __post_init__(self):
         if self.agg_x and self.hidden_dim < self.emb_dim:
@@ -232,6 +239,44 @@ def _step_outs(cfg: DAGNNConfig, params_dir, specs, vals, fxs, ixs):
             ps = jnp.pad(ps, ((0, 0), (0, cfg.hidden_dim - ps.shape[-1])))
         ps_common = ps
 
+    # fused Pallas row-step: one kernel per (row, layer) replaces the whole
+    # attention + segment-softmax + aggregate + GRU op chain (see
+    # ops/pallas/row_step.py). Applicable to the additive-attention kinds
+    # without agg_x/vids; other kinds fall through to the XLA path below.
+    fused_ok = (cfg.segment_impl == "fused" and not cfg.agg_x
+                and v_src is None and cfg.recurr
+                and all(s.kind == "attn" and not cfg.agg_attn_x for s in specs))
+    if fused_ok:
+        from dagnn_tpu.ops.pallas.row_step import fused_attn_gru_row
+        interp = jax.default_backend() != "tpu"
+        cur = inp_x
+        prev_out = None
+        outs = []
+        for i in range(cfg.num_layers):
+            spec, ap, cell = specs[i], params_dir["aggr"][i], params_dir["cells"][i]
+            q = prev_out if i > 0 else inp_x
+            w = ap["attn_lin"]["w"]
+            dq = spec.query_dim
+            has_ea = spec.wea and ea is not None
+            if has_ea:
+                we = ap["edge_encoder"]["w"].T
+                be = ap["edge_encoder"]["b"].reshape(1, -1)
+            else:
+                we = jnp.zeros((1, spec.key_dim), w.dtype)
+                be = jnp.zeros((1, spec.key_dim), w.dtype)
+            out = fused_attn_gru_row(
+                (has_ea, cfg.hidden_dim), interp,
+                cur, q, vals[i], ea if has_ea else None,
+                edge_dst, edge_mask, node_mask,
+                w[:, :dq].T, w[:, dq:].T, ap["attn_lin"]["b"].reshape(1, 1),
+                we, be,
+                cell["w_ih"].T, cell["w_hh"].T,
+                cell["b_ih"].reshape(1, -1), cell["b_hh"].reshape(1, -1))
+            outs.append(out)
+            prev_out = out
+            cur = out
+        return jnp.stack(outs)
+
     cur = inp_x
     prev_out = None
     outs = []
@@ -378,8 +423,8 @@ def _wavefront_bwd(static, res, g):
 _wavefront.defvjp(_wavefront_fwd, _wavefront_bwd)
 
 
-def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
-    """Run the wavefront pass for one direction. Returns h [num_layers, N+1, H].
+def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
+    """Build one direction's (params, float-streams, int-streams) triple.
 
     Execution uses the LEVEL-SORTED layout (see dag/schedule.py): states
     live in a flat [L*Kn+1, H] write-once buffer so per-level writes are
@@ -424,11 +469,51 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
         ixs["teslot"] = jnp.asarray(sched.tgrad_eslot)
         ixs["tdst"] = jnp.asarray(sched.tgrad_dst)
         ixs["tmask"] = jnp.asarray(sched.tgrad_mask)
+    return params_dir, fxs, ixs, (L, kn)
 
+
+def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
+    """Run the wavefront pass for one direction. Returns h [num_layers, N+1, H]."""
+    params_dir, fxs, ixs, (L, kn) = _build_streams(params_dir, cfg, x,
+                                                   edge_attr, sched)
     h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
     # back to node space for readouts / VAE index arithmetic
     node_slot = jnp.asarray(sched.node_slot)
     return h_flat[:, node_slot, :]
+
+
+def _stacked_dirs_pass(params, cfg: DAGNNConfig, x, edge_attr, batch):
+    """Both direction passes as ONE vmapped wavefront scan.
+
+    The forward and reverse passes are mutually independent (the reference
+    runs them back-to-back, ogbg-code/model/dagnn.py:144); their schedules
+    share static shapes (one PadConfig), so stacking params/streams on a
+    leading direction axis and vmapping the scan halves the sequential step
+    count — per step, every matmul becomes a [2, ...] batched matmul.
+    Returns [h_fwd, h_rev] each [num_layers, N+1, H].
+    """
+    built = []
+    for di, d in enumerate(cfg.dirs):
+        pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
+        sched = batch.fwd if d == 0 else batch.rev
+        built.append(_build_streams(pdir, cfg, x, edge_attr, sched))
+    (p0, f0, i0, (L, kn)) = built[0]
+    (p1, f1, i1, _) = built[1]
+    # stacking happens inside the traced function, so a shared aggregator
+    # (add/max share one instance across dirs, dagnn.py:74-75) still gets
+    # correctly summed gradients through the stack.
+    ps = jax.tree.map(lambda a, b: jnp.stack([a, b]), p0, p1)
+    fs = jax.tree.map(lambda a, b: jnp.stack([a, b]), f0, f1)
+    ixs = {k: (i0[k] if k == "lvl" else jnp.stack([i0[k], i1[k]]))
+           for k in i0}
+    # "lvl" is identical across directions and stays UNBATCHED (in_axes None):
+    # it feeds dynamic_(update_)slice offsets, and a vmapped DUS with batched
+    # start indices lowers to a scatter — catastrophically slow on TPU.
+    ix_axes = {k: (None if k == "lvl" else 0) for k in ixs}
+    h_flat = jax.vmap(partial(_wavefront, (cfg, L, kn)),
+                      in_axes=(0, 0, ix_axes))(ps, fs, ixs)
+    return [h_flat[di][:, jnp.asarray(s.node_slot), :]
+            for di, s in enumerate((batch.fwd, batch.rev))]
 
 
 def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
@@ -440,6 +525,15 @@ def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
                batch.extras.get("node_depth"))
     # keep the garbage row exactly zero so pad gathers are inert
     x = jnp.where(batch.node_mask[:, None], x, 0)
+
+    def _tg_shape(s):
+        return None if s.tgrad_eslot is None else s.tgrad_eslot.shape
+
+    if (cfg.stack_dirs and cfg.bidirectional
+            and batch.fwd.node_ids.shape == batch.rev.node_ids.shape
+            and batch.fwd.edge_src.shape == batch.rev.edge_src.shape
+            and _tg_shape(batch.fwd) == _tg_shape(batch.rev)):
+        return x, _stacked_dirs_pass(params, cfg, x, batch.edge_attr, batch)
 
     h_dirs = []
     for di, d in enumerate(cfg.dirs):

@@ -5,7 +5,7 @@ set -e
 cd "$(dirname "$0")/.."
 MODEL=${1:-DAGNN}
 [ $# -gt 0 ] && shift
-DATA=${DATA:-/root/reference/dvae/data/final_structures6.txt}
+DATA=${DATA:-"$(dirname "$0")/../data/final_structures6.txt.gz"}
 exec python -m dagnn_tpu.cli.train_vae \
   --data-name final_structures6 --data-path "$DATA" --data-type ENAS \
   --model "$MODEL" --nvt 6 --hs "${HS:-501}" --nz "${NZ:-56}" \
