@@ -239,44 +239,6 @@ def _step_outs(cfg: DAGNNConfig, params_dir, specs, vals, fxs, ixs):
             ps = jnp.pad(ps, ((0, 0), (0, cfg.hidden_dim - ps.shape[-1])))
         ps_common = ps
 
-    # fused Pallas row-step: one kernel per (row, layer) replaces the whole
-    # attention + segment-softmax + aggregate + GRU op chain (see
-    # ops/pallas/row_step.py). Applicable to the additive-attention kinds
-    # without agg_x/vids; other kinds fall through to the XLA path below.
-    fused_ok = (cfg.segment_impl == "fused" and not cfg.agg_x
-                and v_src is None and cfg.recurr
-                and all(s.kind == "attn" and not cfg.agg_attn_x for s in specs))
-    if fused_ok:
-        from dagnn_tpu.ops.pallas.row_step import fused_attn_gru_row
-        interp = jax.default_backend() != "tpu"
-        cur = inp_x
-        prev_out = None
-        outs = []
-        for i in range(cfg.num_layers):
-            spec, ap, cell = specs[i], params_dir["aggr"][i], params_dir["cells"][i]
-            q = prev_out if i > 0 else inp_x
-            w = ap["attn_lin"]["w"]
-            dq = spec.query_dim
-            has_ea = spec.wea and ea is not None
-            if has_ea:
-                we = ap["edge_encoder"]["w"].T
-                be = ap["edge_encoder"]["b"].reshape(1, -1)
-            else:
-                we = jnp.zeros((1, spec.key_dim), w.dtype)
-                be = jnp.zeros((1, spec.key_dim), w.dtype)
-            out = fused_attn_gru_row(
-                (has_ea, cfg.hidden_dim), interp,
-                cur, q, vals[i], ea if has_ea else None,
-                edge_dst, edge_mask, node_mask,
-                w[:, :dq].T, w[:, dq:].T, ap["attn_lin"]["b"].reshape(1, 1),
-                we, be,
-                cell["w_ih"].T, cell["w_hh"].T,
-                cell["b_ih"].reshape(1, -1), cell["b_hh"].reshape(1, -1))
-            outs.append(out)
-            prev_out = out
-            cur = out
-        return jnp.stack(outs)
-
     cur = inp_x
     prev_out = None
     outs = []
@@ -341,15 +303,48 @@ def _init_h(static, fxs):
                      fxs["x"].dtype)
 
 
+def _fused_applicable(cfg: DAGNNConfig) -> bool:
+    """Static eligibility for the whole-row fused Pallas kernel
+    (ops/pallas/row_step.py): additive-attention aggregators with a GRU
+    stack, no agg_x / vids. Everything else uses the XLA path."""
+    return (cfg.segment_impl == "fused" and not cfg.agg_x
+            and cfg.vid_dim == 0 and cfg.recurr
+            and cfg.agg_attn and not cfg.agg_attn_x
+            and all(cfg.aggregator_spec(l).kind == "attn"
+                    for l in range(cfg.num_layers)))
+
+
+def _fused_static(cfg: DAGNNConfig, fxs):
+    has_ea = "ea" in fxs and cfg.aggregator_spec(0).wea
+    return (has_ea, cfg.hidden_dim, cfg.num_layers)
+
+
+def _fused_weights(cfg: DAGNNConfig, params_dir, has_ea):
+    from dagnn_tpu.ops.pallas.row_step import flatten_row_weights
+    qdims = [cfg.aggregator_spec(l).query_dim for l in range(cfg.num_layers)]
+    return flatten_row_weights(params_dir["aggr"], params_dir["cells"],
+                               qdims, has_ea)
+
+
 def _fwd_step(static, params_dir):
     cfg, L, kn = static
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
+    fused = _fused_applicable(cfg)
 
     def step(h, xs):
         fxs, ixs = xs
         offset = ixs["lvl"] * kn
         vals = _gather_vals(cfg, h, ixs["eslot"])
-        outs = _step_outs(cfg, params_dir, specs, vals, fxs, ixs)
+        if fused:
+            from dagnn_tpu.ops.pallas.row_step import fused_row_forward
+            st = _fused_static(cfg, fxs)
+            outs = fused_row_forward(
+                st, jax.default_backend() != "tpu",
+                fxs["x"], vals, fxs.get("ea") if st[0] else None,
+                ixs["edst"], ixs["emask"], ixs["nmask"],
+                _fused_weights(cfg, params_dir, st[0]))
+        else:
+            outs = _step_outs(cfg, params_dir, specs, vals, fxs, ixs)
         h = jax.lax.dynamic_update_slice(h, outs, (0, offset, 0))
         return h, None
 
@@ -365,6 +360,8 @@ def _wavefront_bwd(static, res, g):
     cfg, L, kn = static
     params_dir, fxs, ixs, h_final = res
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
+    if _fused_applicable(cfg) and "teslot" in ixs:
+        return _wavefront_bwd_fused(static, res, g)
     # Transpose-schedule backward (preferred): instead of scatter-adding each
     # row's predecessor-state gradients dv into the full [L*Kn+1, H] buffer
     # (a random-access scatter per step — slow on TPU), write dv CONTIGUOUSLY
@@ -420,6 +417,63 @@ def _wavefront_bwd(static, res, g):
     return d_params, d_fxs, d_ixs
 
 
+def _wavefront_bwd_fused(static, res, g):
+    """Backward with the whole-row fused Pallas kernel.
+
+    Same transpose-schedule recurrence as the generic path, but the
+    per-row work (incoming-edge-grad segment sum + both layers' VJPs) is
+    one pallas_call; weight grads accumulate in the kernel's flat layout
+    and map back to the params tree once after the scan."""
+    from dagnn_tpu.ops.pallas.row_step import unflatten_row_weight_grads
+    cfg, L, kn = static
+    params_dir, fxs, ixs, h_final = res
+    st = _fused_static(cfg, fxs)
+    has_ea = st[0]
+    weights = _fused_weights(cfg, params_dir, has_ea)
+    interp = jax.default_backend() != "tpu"
+    ke = ixs["eslot"].shape[1]
+
+    def bwd_step(carry, xs):
+        from dagnn_tpu.ops.pallas.row_step import fused_row_backward
+        acc, dw_acc = carry
+        fxs_l, ixs_l = xs
+        lvl = ixs_l["lvl"]
+        vals = h_final[:, ixs_l["eslot"], :]
+        g_out = jax.lax.dynamic_slice(
+            g, (0, lvl * kn, 0), (cfg.num_layers, kn, cfg.hidden_dim))
+        tg = acc[:, ixs_l["teslot"], :]      # [Lyr, Kt, H]; pad slot is zero
+        dx, dvals, dea, dw = fused_row_backward(
+            st, interp, fxs_l["x"], vals,
+            fxs_l.get("ea") if has_ea else None,
+            ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
+            g_out, tg, ixs_l["tdst"], ixs_l["tmask"])
+        acc = jax.lax.dynamic_update_slice(acc, dvals, (0, lvl * ke, 0))
+        dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
+        dfl = {"x": dx}
+        if "ea" in fxs_l:
+            dfl["ea"] = (dea if dea is not None
+                         else jnp.zeros_like(fxs_l["ea"]))
+        return (acc, dw_acc), dfl
+
+    from dagnn_tpu.ops.pallas.row_step import _names as _row_names
+    acc0 = jnp.zeros((cfg.num_layers, L * ke + 1, cfg.hidden_dim), g.dtype)
+    # grads exist only for the canonical weight forms (the row-form score
+    # vector copies are backward-only INPUTS, their grads fold into wq/wk)
+    dw0 = {n: jnp.zeros_like(weights[n])
+           for n in _row_names(cfg.num_layers, has_ea)}
+    (_, dw_total), d_fxs = jax.lax.scan(
+        bwd_step, (acc0, dw0), (fxs, ixs), reverse=True)
+    d_params = unflatten_row_weight_grads(dw_total, cfg.num_layers, has_ea)
+    if not has_ea:
+        # structural zeros for edge-encoder params absent from the kernel
+        for l, ap in enumerate(params_dir["aggr"]):
+            if "edge_encoder" in ap:
+                d_params["aggr"][l]["edge_encoder"] = jax.tree.map(
+                    jnp.zeros_like, ap["edge_encoder"])
+    d_ixs = jax.tree.map(lambda a: np.zeros(a.shape, jax.dtypes.float0), ixs)
+    return d_params, d_fxs, d_ixs
+
+
 _wavefront.defvjp(_wavefront_fwd, _wavefront_bwd)
 
 
@@ -472,11 +526,22 @@ def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
     return params_dir, fxs, ixs, (L, kn)
 
 
-def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
-    """Run the wavefront pass for one direction. Returns h [num_layers, N+1, H]."""
+def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
+                    slot_space: bool = False):
+    """Run the wavefront pass for one direction.
+
+    Returns h [num_layers, N+1, H] in node space, or — with
+    slot_space=True — (h_flat [num_layers, L*Kn+1, H], x_slot [L*Kn, emb])
+    in the level-sorted layout. Slot space avoids the node-space
+    conversion whose backward is a [slots, H] scatter (measured ~2ms/step
+    at TOK shapes); readouts that only need per-graph pooling can run
+    directly over slots.
+    """
     params_dir, fxs, ixs, (L, kn) = _build_streams(params_dir, cfg, x,
                                                    edge_attr, sched)
     h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
+    if slot_space:
+        return h_flat, fxs["x"].reshape(L * kn, -1)
     # back to node space for readouts / VAE index arithmetic
     node_slot = jnp.asarray(sched.node_slot)
     return h_flat[:, node_slot, :]
@@ -553,13 +618,41 @@ def dagnn_forward(
     """Full forward pass. Returns per-position token logits [G, S, V],
     class logits [G, C], or regression [G, 1] per config (dagnn.py:209-215).
     """
-    x, h_dirs = dagnn_node_states(params, cfg, batch)
     num_graphs = batch.num_graph_slots
-
     pool_kw = dict(
         kind=cfg.out_pool,
         attn_params=params.get("pool_attn"),
     )
+
+    if not cfg.out_pool_all and not (cfg.stack_dirs and cfg.bidirectional):
+        # SLOT-SPACE readout fast path: final-node pooling is per direction,
+        # so each direction pools straight from its level-sorted buffer —
+        # no node-space conversion (scatter-free backward). Semantics equal
+        # to the node-space branches below (dagnn.py:184-193).
+        x = encode(params["encoder"], cfg.encoder, batch.x,
+                   batch.extras.get("node_depth"))
+        x = jnp.where(batch.node_mask[:, None], x, 0)
+        parts = []
+        for di, d in enumerate(cfg.dirs):
+            pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
+            sched = batch.fwd if d == 0 else batch.rev
+            h_flat, x_slot = _direction_pass(pdir, cfg, x, batch.edge_attr,
+                                             sched, slot_space=True)
+            L, kn = sched.node_ids.shape
+            nid = jnp.asarray(sched.node_ids).reshape(L * kn)
+            slot_gid = batch.graph_id[nid]          # pad slots -> segment G
+            omask = batch.out_mask_fwd if d == 0 else batch.out_mask_rev
+            slot_mask = (omask & batch.node_mask)[nid]
+            layers = [h_flat[l, :L * kn, :] for l in range(cfg.num_layers)]
+            hcat = jnp.concatenate(
+                ([x_slot] if cfg.out_wx else []) + layers, axis=-1)
+            parts.append(pool_nodes(hcat, slot_gid, num_graphs,
+                                    mask=slot_mask, **pool_kw))
+        out = jnp.concatenate(parts, axis=-1)
+        return _apply_head(params, cfg, out, rng, train)
+
+    x, h_dirs = dagnn_node_states(params, cfg, batch)
+
     if cfg.bidirectional and not cfg.out_pool_all:
         # per-direction readout over that direction's final nodes (dagnn.py:184-193)
         parts = []
@@ -575,6 +668,10 @@ def dagnn_forward(
         mask = batch.node_mask if cfg.out_pool_all else (batch.out_mask_fwd & batch.node_mask)
         out = pool_nodes(hcat, batch.graph_id, num_graphs, mask=mask, **pool_kw)
 
+    return _apply_head(params, cfg, out, rng, train)
+
+
+def _apply_head(params, cfg: DAGNNConfig, out, rng, train):
     if train and cfg.dropout > 0.0:
         keep = 1.0 - cfg.dropout
         out = out * jax.random.bernoulli(rng, keep, out.shape) / keep

@@ -1,33 +1,40 @@
-"""Fused Pallas TPU kernel: one wavefront row-step (attention + GRU).
+"""Fused Pallas TPU kernels: one whole wavefront row per call.
 
-The hot loop of the DAGNN wavefront executes, per scan row and GRU layer,
-a chain of ~30 small XLA ops (edge encode, SDDMM scores, segment softmax,
-SpMM aggregate, GRU gates — reference semantics:
-ogbg-code/model/dagnn.py:362-373 AttnConv.message + :171-182 GRU update).
-At wavefront shapes (Ke~1k edges, Kn~512 nodes, H~300) each op is a few
-microseconds of fixed overhead — the scan is op-count bound, not FLOP
-bound.  This kernel fuses the entire row-layer into ONE pallas_call (and
-its backward into one more), keeping every intermediate in VMEM:
+The DAGNN wavefront is op-count bound on TPU: per scan row, the XLA path
+runs ~30 small ops per GRU layer (edge encode, SDDMM attention scores,
+segment softmax, SpMM aggregate, GRU gates — reference semantics:
+ogbg-code/model/dagnn.py:362-373 AttnConv.message + :171-182 GRU update),
+each costing microseconds of fixed overhead at row shapes (Ke~0.5-1k
+edges, Kn~256-512 slots, H~300).  These kernels fuse the ENTIRE row — all
+GRU layers — into one `pallas_call` for forward and one for backward:
 
-    k      = val + ea @ We + be          (edge-type encoder, optional)
-    s_e    = q[dst] @ wq + k @ wk + b    (additive attention, SDDMM)
-    P      = one_hot(dst) * emask        (in-kernel iota; dst=Kn -> zero row)
-    alpha  = segment_softmax(s, P)       (max-shifted, +1e-16 denominator)
-    agg    = P^T (alpha * val)           (SpMM, MXU)
-    out    = GRU(cur, agg) * nmask       (torch.nn.GRUCell gate math)
+  per layer l (chained: layer l's cur/query = layer l-1's output):
+    k      = val_l + ea @ We_l + be_l     (edge-type encoder, optional)
+    s_e    = q[dst]·wq_l + k·wk_l + b_l   (additive attention, SDDMM)
+    P      = one_hot(dst) * emask         (built once per row via iota)
+    alpha  = segment_softmax(s, P)        (max-shifted, +1e-16 denominator)
+    agg    = P^T (alpha * val_l)          (SpMM, MXU)
+    out_l  = GRU_l(cur, agg) * nmask      (torch.nn.GRUCell gate math)
 
-Matmuls run on the MXU with float32 accumulation; softmax internals are
-float32 regardless of the compute dtype.
+The backward kernel additionally performs the TRANSPOSE-SCHEDULE
+accumulation in-kernel: the per-edge gradients flowing into this row's
+outputs (tg, gathered from the contiguous edge-grad buffer by the caller)
+are segment-summed over local source slots as a one-hot MXU matmul —
+XLA lowers the equivalent one-hot einsum to a scatter (~40us/row measured
+on v5e); here it is a ~1us matmul.
 
-The backward kernel recomputes alpha from VMEM-resident inputs (cheaper
-than storing it) and emits every gradient in one call:
-d_cur, d_val, d_q, d_ea and the 8 weight grads.
+All matmuls use `dot_general` in Mosaic-supported orientations (NN / NT /
+TN over 2-D operands; the score vectors travel column-form because NT
+against a [1,D] operand does not lower) — no activation transposes
+materialize anywhere, and weight gradients leave the kernel in (or one
+hoisted transpose away from) parameter layout. Operands stay in the
+compute dtype (bf16 in production) with float32 MXU accumulation;
+softmax internals are float32 always.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,205 +44,388 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-16
 _F32 = jnp.float32
 
-
-def _hp_dot(a, b):
-    return jax.lax.dot(a, b, preferred_element_type=_F32,
-                       precision=jax.lax.Precision.HIGHEST)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _attention(q, val, ea, edst, emask, wq, wk, b, we, be):
-    """Shared fwd recompute: returns (alpha [Ke,1] f32, P [Ke,Kn] f32, k)."""
-    ke = val.shape[0]
-    kn = q.shape[0]
-    k = val.astype(_F32)
+def _dg(a, b, contract_a, contract_b):
+    """dot_general contracting one dim of each operand, f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((), ())),
+        preferred_element_type=_F32)
+
+
+def _mm(a, b):          # [M,K]x[K,N] -> [M,N]
+    return _dg(a, b, 1, 0)
+
+
+def _layer_fwd(aggp, cellp, cur, q, val, ea, P, Pm, emask, nmask, hdim):
+    """One layer's forward in-kernel. Returns (out_f32, residuals)."""
+    dt = val.dtype
+    k = val
     if ea is not None:
-        k = k + _hp_dot(ea.astype(_F32), we.astype(_F32)) + be.astype(_F32)
-    q_scores = _hp_dot(q.astype(_F32), wq.astype(_F32))           # [Kn, 1]
-    k_scores = _hp_dot(k, wk.astype(_F32)) + b.astype(_F32)       # [Ke, 1]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (ke, kn), 1)
-    P = jnp.where(col == edst, 1.0, 0.0) * emask                  # [Ke, Kn] f32
-
-    scores = _hp_dot(P, q_scores) + k_scores                      # [Ke, 1]
+        # edge encoder: linear w [A,R], b [1,A] (dagnn.py:238,356)
+        k = (k.astype(_F32) + _dg(ea, aggp["we"], 1, 1)
+             + aggp["be"].astype(_F32)).astype(dt)
+    # additive attention: attn_lin([q, k]) split into q/k parts.
+    # wq/wk are passed COLUMN-form [D,1]: Mosaic rejects NT matvecs with a
+    # [1,D] rhs ("only constant accumulators supported"), NN is fine.
+    q_scores = _mm(q, aggp["wq"])                             # [Kn, 1] f32
+    k_scores = _mm(k, aggp["wk"]) + aggp["b"].astype(_F32)    # [Ke, 1]
+    scores = _mm(P, q_scores.astype(dt)) + k_scores           # [Ke, 1] f32
     neg = jnp.finfo(_F32).min
-    sm = jnp.where(P > 0, scores, neg)                            # [Ke, Kn]
-    seg_max = jnp.max(sm, axis=0, keepdims=True)                  # [1, Kn]
+    sm = jnp.where(Pm, scores, neg)                           # [Ke, Kn] f32
+    seg_max = jnp.max(sm, axis=0, keepdims=True)
     seg_max = jnp.where(seg_max <= neg, 0.0, seg_max)
-    e = jnp.exp(scores - _hp_dot(P, seg_max.T)) * emask           # [Ke, 1]
-    denom = _hp_dot(P.T, e)                                       # [Kn, 1]
-    alpha = e / (_hp_dot(P, denom) + _EPS)                        # [Ke, 1]
-    return alpha, P, k, scores
+    e = jnp.exp(scores - _mm(P, seg_max.T.astype(dt))) * emask
+    denom = _mm(P.T, e.astype(dt))                            # [Kn, 1] f32
+    alpha32 = e / (_mm(P, denom.astype(dt)) + _EPS)
+    alpha = alpha32.astype(dt)
+    agg = _mm(P.T, val * alpha).astype(dt)                    # [Kn, H]
 
-
-def _gru_gates(cur, agg, wih, whh, bih, bhh, hdim):
-    """Forward GRU gate math (torch.nn.GRUCell). Returns (out, r, z, n, hn)."""
-    gi = _hp_dot(cur.astype(_F32), wih.astype(_F32)) + bih.astype(_F32)
-    gh = _hp_dot(agg, whh.astype(_F32)) + bhh.astype(_F32)
+    # GRU (torch.nn.GRUCell; params w_ih [3H,In], w_hh [3H,H])
+    gi = _dg(cur, cellp["w_ih"], 1, 1) + cellp["b_ih"].astype(_F32)
+    gh = _dg(agg, cellp["w_hh"], 1, 1) + cellp["b_hh"].astype(_F32)
     i_r, i_z, i_n = gi[:, :hdim], gi[:, hdim:2 * hdim], gi[:, 2 * hdim:]
     h_r, h_z, h_n = gh[:, :hdim], gh[:, hdim:2 * hdim], gh[:, 2 * hdim:]
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
-    out = (1.0 - z) * n + z * agg
-    return out, r, z, n, h_n
+    out = ((1.0 - z) * n + z * agg.astype(_F32)) * nmask
+    # residuals stored in the compute dtype — halves bwd VMEM residency
+    return out, (k, alpha, alpha32, agg, r.astype(dt), z.astype(dt),
+                 n.astype(dt), h_n.astype(dt))
 
 
-def _fwd_kernel(has_ea, hdim,
-                cur_ref, q_ref, val_ref, ea_ref, edst_ref, emask_ref,
-                nmask_ref, wq_ref, wk_ref, b_ref, we_ref, be_ref,
-                wih_ref, whh_ref, bih_ref, bhh_ref, out_ref):
-    ea = ea_ref[:] if has_ea else None
-    alpha, P, _, _ = _attention(q_ref[:], val_ref[:], ea, edst_ref[:],
-                                emask_ref[:], wq_ref[:], wk_ref[:], b_ref[:],
-                                we_ref[:], be_ref[:])
-    agg = _hp_dot(P.T, val_ref[:].astype(_F32) * alpha)           # [Kn, H]
-    out, _, _, _, _ = _gru_gates(cur_ref[:], agg, wih_ref[:], whh_ref[:],
-                                 bih_ref[:], bhh_ref[:], hdim)
-    out_ref[:] = (out * nmask_ref[:]).astype(out_ref.dtype)
-
-
-def _bwd_kernel(has_ea, hdim,
-                cur_ref, q_ref, val_ref, ea_ref, edst_ref, emask_ref,
-                nmask_ref, wq_ref, wk_ref, b_ref, we_ref, be_ref,
-                wih_ref, whh_ref, bih_ref, bhh_ref, g_ref,
-                dcur_ref, dq_ref, dval_ref, dea_ref,
-                dwq_ref, dwk_ref, db_ref, dwe_ref, dbe_ref,
-                dwih_ref, dwhh_ref, dbih_ref, dbhh_ref):
-    ea = ea_ref[:] if has_ea else None
-    val = val_ref[:]
-    cur = cur_ref[:]
-    alpha, P, k, _ = _attention(q_ref[:], val, ea, edst_ref[:], emask_ref[:],
-                                wq_ref[:], wk_ref[:], b_ref[:],
-                                we_ref[:], be_ref[:])
-    vf = val.astype(_F32)
-    agg = _hp_dot(P.T, vf * alpha)
-    out, r, z, n, h_n = _gru_gates(cur, agg, wih_ref[:], whh_ref[:],
-                                   bih_ref[:], bhh_ref[:], hdim)
-
-    g = g_ref[:].astype(_F32) * nmask_ref[:]                      # [Kn, H]
-    # GRU backward (h' = (1-z) n + z agg)
+def _layer_bwd(aggp, cellp, cur, q, val, ea, P, res, g, hdim):
+    """One layer's backward. g [Kn,H] f32. Returns grads (dea may be None)."""
+    dt = val.dtype
+    k, alpha, alpha32, agg, r, z, n, h_n = res
+    r, z, n, h_n = (a.astype(_F32) for a in (r, z, n, h_n))
     dn = g * (1.0 - z)
-    dz = g * (agg - n)
-    dpre_n = dn * (1.0 - n * n)          # pre-tanh
+    dz = g * (agg.astype(_F32) - n)
+    dpre_n = dn * (1.0 - n * n)
     dr = dpre_n * h_n
     dpre_z = dz * z * (1.0 - z)
     dpre_r = dr * r * (1.0 - r)
-    dgi = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=1)       # [Kn, 3H]
-    dgh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=1)
-    dcur_ref[:] = _hp_dot(dgi, wih_ref[:].astype(_F32).T).astype(dcur_ref.dtype)
-    dagg = _hp_dot(dgh, whh_ref[:].astype(_F32).T) + g * z        # [Kn, H]
-    dwih_ref[:] = _hp_dot(cur.astype(_F32).T, dgi).astype(dwih_ref.dtype)
-    dwhh_ref[:] = _hp_dot(agg.T, dgh).astype(dwhh_ref.dtype)
-    dbih_ref[:] = jnp.sum(dgi, axis=0, keepdims=True).astype(dbih_ref.dtype)
-    dbhh_ref[:] = jnp.sum(dgh, axis=0, keepdims=True).astype(dbhh_ref.dtype)
+    dgi = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=1).astype(dt)
+    dgh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=1).astype(dt)
+    dcur = _mm(dgi, cellp["w_ih"])                            # [Kn, In] f32
+    dagg = (_mm(dgh, cellp["w_hh"]) + g * z).astype(dt)       # [Kn, H]
+    dcell = {
+        "w_ih": _dg(dgi, cur, 0, 0),                          # [3H, In]
+        "w_hh": _dg(dgh, agg, 0, 0),                          # [3H, H]
+        "b_ih": jnp.sum(dgi.astype(_F32), axis=0, keepdims=True),  # [1, 3H]
+        "b_hh": jnp.sum(dgh.astype(_F32), axis=0, keepdims=True),
+    }
 
-    # aggregate backward: agg = P^T (alpha * val)
-    g_rows = _hp_dot(P, dagg)                                     # [Ke, H]
-    dval = alpha * g_rows                                         # value term
-    dalpha = jnp.sum(g_rows * vf, axis=1, keepdims=True)          # [Ke, 1]
-    # softmax jacobian per segment
-    seg_dot = _hp_dot(P.T, alpha * dalpha)                        # [Kn, 1]
-    dscores = alpha * (dalpha - _hp_dot(P, seg_dot))              # [Ke, 1]
+    g_rows = _mm(P, dagg).astype(dt)                          # [Ke, H]
+    dval = alpha * g_rows
+    dalpha = jnp.sum((g_rows * val).astype(_F32), axis=1, keepdims=True)
+    seg_dot = _mm(P.T, (alpha32 * dalpha).astype(dt))         # [Kn, 1]
+    dscores = (alpha32 * (dalpha - _mm(P, seg_dot.astype(dt)))).astype(dt)
 
-    # scores = P q wq + (k wk + b)
-    dq_scores = _hp_dot(P.T, dscores)                             # [Kn, 1]
-    dq_ref[:] = _hp_dot(dq_scores, wq_ref[:].astype(_F32).T).astype(dq_ref.dtype)
-    dwq_ref[:] = _hp_dot(q_ref[:].astype(_F32).T, dq_scores).astype(dwq_ref.dtype)
-    dk = _hp_dot(dscores, wk_ref[:].astype(_F32).T)               # [Ke, A]
-    dwk_ref[:] = _hp_dot(k.T, dscores).astype(dwk_ref.dtype)
-    db_ref[:] = jnp.sum(dscores, axis=0, keepdims=True).astype(db_ref.dtype)
-    dval_ref[:] = (dval + dk).astype(dval_ref.dtype)              # k = val + ...
-    if has_ea:
-        dwe_ref[:] = _hp_dot(ea.astype(_F32).T, dk).astype(dwe_ref.dtype)
-        dbe_ref[:] = jnp.sum(dk, axis=0, keepdims=True).astype(dbe_ref.dtype)
-        dea_ref[:] = _hp_dot(dk, we_ref[:].astype(_F32).T).astype(dea_ref.dtype)
-    else:
-        dwe_ref[:] = jnp.zeros_like(dwe_ref)
-        dbe_ref[:] = jnp.zeros_like(dbe_ref)
-        dea_ref[:] = jnp.zeros_like(dea_ref)
+    dq_scores = _mm(P.T, dscores).astype(dt)                  # [Kn, 1]
+    # d(q)/d(k) via elementwise broadcast against the ROW-form weight
+    # (outer product [N,1]x[1,D] as a VPU multiply, not an MXU matvec)
+    dq = dq_scores.astype(_F32) * aggp["wqr"].astype(_F32)    # [Kn, Dq]
+    dk = (dscores.astype(_F32) * aggp["wkr"].astype(_F32)).astype(dt)
+    daggp = {
+        "wq": _dg(q, dq_scores, 0, 0),                        # [Dq, 1]
+        "wk": _dg(k, dscores, 0, 0),                          # [A, 1]
+        "b": jnp.sum(dscores.astype(_F32), axis=0, keepdims=True),  # [1, 1]
+    }
+    dval = (dval + dk).astype(dt)
+    dea = None
+    if ea is not None:
+        daggp["we"] = _dg(dk, ea, 0, 0)                       # [A, R]
+        daggp["be"] = jnp.sum(dk.astype(_F32), axis=0, keepdims=True)  # [1, A]
+        dea = _mm(dk, aggp["we"]).astype(dt)                  # [Ke, R]
+    return dcur, dq, dval, dea, daggp, dcell
 
 
-def _prep(cur, q, val, ea, edst, emask, nmask):
-    """Shape/dtype normalization shared by fwd and bwd calls."""
-    ke = val.shape[0]
-    kn = cur.shape[0]
-    ea2 = ea if ea is not None else jnp.zeros((ke, 1), val.dtype)
-    return (cur, q, val, ea2,
+def _build_P(edst, emask, kn, dt):
+    ke = edst.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (ke, kn), 1)
+    Pm = (col == edst) & (emask > 0)
+    return Pm, Pm.astype(dt)
+
+
+# ---------------------------------------------------------------- plumbing
+
+def agg_keys(has_ea, rows=False):
+    ks = ("wq", "wk", "b") + (("we", "be") if has_ea else ())
+    if rows:
+        ks = ks + ("wqr", "wkr")  # row-form copies, backward-only inputs
+    return ks
+
+
+CELL_KEYS = ("w_ih", "w_hh", "b_ih", "b_hh")
+
+
+def _names(nlayers, has_ea, rows=False):
+    ns = []
+    for l in range(nlayers):
+        ns += [f"a{l}_{k}" for k in agg_keys(has_ea, rows)]
+        ns += [f"c{l}_{k}" for k in CELL_KEYS]
+    return ns
+
+
+def flatten_row_weights(aggr, cells, query_dims, has_ea):
+    """Build the ordered weight dict for fused_row fwd/bwd.
+
+    aggr[l] = {"attn_lin": {"w": [1, Dq+A], "b": [1]}, "edge_encoder"?};
+    cells[l] = torch-layout GRU dict. query_dims[l] is layer l's attention
+    query dim (emb for layer 0, hidden above — reference dagnn.py:56-75).
+    Biases are reshaped 2-D for VMEM residency; pure slices/reshapes that
+    XLA hoists out of the scan.
+    """
+    out = {}
+    for l, (ap, cp) in enumerate(zip(aggr, cells)):
+        w = ap["attn_lin"]["w"]
+        dq = query_dims[l]
+        out[f"a{l}_wq"] = w[:, :dq].T          # [Dq, 1] column form
+        out[f"a{l}_wk"] = w[:, dq:].T          # [A, 1]
+        out[f"a{l}_wqr"] = w[:, :dq]           # [1, Dq] row form (bwd)
+        out[f"a{l}_wkr"] = w[:, dq:]
+        out[f"a{l}_b"] = ap["attn_lin"]["b"].reshape(1, 1)
+        if has_ea:
+            out[f"a{l}_we"] = ap["edge_encoder"]["w"]
+            out[f"a{l}_be"] = ap["edge_encoder"]["b"].reshape(1, -1)
+        out[f"c{l}_w_ih"] = cp["w_ih"]
+        out[f"c{l}_w_hh"] = cp["w_hh"]
+        out[f"c{l}_b_ih"] = cp["b_ih"].reshape(1, -1)
+        out[f"c{l}_b_hh"] = cp["b_hh"].reshape(1, -1)
+    return out
+
+
+def unflatten_row_weight_grads(dw, nlayers, has_ea):
+    """Map flat kernel weight-grad dict back to params_dir tree shapes."""
+    aggr, cells = [], []
+    for l in range(nlayers):
+        ap = {"attn_lin": {
+            "w": jnp.concatenate([dw[f"a{l}_wq"].T, dw[f"a{l}_wk"].T],
+                                 axis=1),
+            "b": dw[f"a{l}_b"].reshape(1)}}
+        if has_ea:
+            ap["edge_encoder"] = {"w": dw[f"a{l}_we"],
+                                  "b": dw[f"a{l}_be"].reshape(-1)}
+        aggr.append(ap)
+        cells.append({"w_ih": dw[f"c{l}_w_ih"], "w_hh": dw[f"c{l}_w_hh"],
+                      "b_ih": dw[f"c{l}_b_ih"].reshape(-1),
+                      "b_hh": dw[f"c{l}_b_hh"].reshape(-1)})
+    return {"aggr": aggr, "cells": cells}
+
+
+class _DictRefs:
+    """Adapter letting kernel code index a flat tuple of refs by name."""
+
+    def __init__(self, names, refs):
+        self._m = dict(zip(names, refs))
+
+    def __getitem__(self, k):
+        return self._m[k]
+
+
+def _prep_row(xin, vals, ea, edst, emask, nmask):
+    ke = vals.shape[1]
+    kn = xin.shape[0]
+    ea2 = ea if ea is not None else jnp.zeros((ke, 1), vals.dtype)
+    return (xin, vals, ea2,
             edst.astype(jnp.int32).reshape(ke, 1),
             emask.astype(_F32).reshape(ke, 1),
             nmask.astype(_F32).reshape(kn, 1))
 
 
-def _vmem_specs(n):
-    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * n
+def _call_kw(interpret):
+    if interpret:
+        return dict(interpret=True)
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_attn_gru_row(static, interpret, cur, q, val, ea, edst, emask,
-                       nmask, wq, wk, b, we, be, wih, whh, bih, bhh):
-    """One fused wavefront row-layer: attention aggregate + GRU.
+# ----------------------------------------------------------------- kernels
 
-    static = (has_ea, hidden_dim). Weight layouts are matmul-ready:
-    wq [Dq,1], wk [A,1], b [1,1], we [R,A], be [1,A], wih [In,3H],
-    whh [H,3H], bih/bhh [1,3H]. Returns out [Kn, H] in cur's dtype.
-    """
-    has_ea, hdim = static
-    args = _prep(cur, q, val, ea, edst, emask, nmask)
-    kn = cur.shape[0]
+def _row_fwd_kernel(static, names, refs):
+    has_ea, hdim, nlayers = static
+    (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
+     *rest) = refs
+    wref = _DictRefs(names, rest[:-1])
+    out_ref = rest[-1]
+    ea = ea_ref[:] if has_ea else None
+    emask = emask_ref[:]
+    kn = xin_ref.shape[0]
+    Pm, P = _build_P(edst_ref[:], emask, kn, vals_ref.dtype)
+    nmask = nmask_ref[:]
+    cur = xin_ref[:]
+    q = cur
+    for l in range(nlayers):
+        aggp = {k: wref[f"a{l}_{k}"][:] for k in agg_keys(has_ea)}
+        cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
+        out, _ = _layer_fwd(aggp, cellp, cur, q, vals_ref[l], ea, P, Pm,
+                            emask, nmask, hdim)
+        out = out.astype(out_ref.dtype)
+        out_ref[l, :, :] = out
+        cur = out
+        q = out
+
+
+def _row_bwd_kernel(static, names, refs):
+    has_ea, hdim, nlayers = static
+    in_names, out_names = names
+    (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
+     *rest) = refs
+    nw = len(in_names)
+    wref = _DictRefs(in_names, rest[:nw])
+    g_ref = rest[nw]
+    dx_ref, dvals_ref, dea_ref = rest[nw + 1:nw + 4]
+    dwrefs = _DictRefs(out_names, rest[nw + 4:])
+
+    ea = ea_ref[:] if has_ea else None
+    emask = emask_ref[:]
+    kn = xin_ref.shape[0]
+    dt = vals_ref.dtype
+    Pm, P = _build_P(edst_ref[:], emask, kn, dt)
+    nmask = nmask_ref[:]
+
+    # forward recompute (residuals per layer stay in VMEM)
+    cur = xin_ref[:]
+    q = cur
+    curs, qs, resids, aggps, cellps = [], [], [], [], []
+    for l in range(nlayers):
+        aggp = {k: wref[f"a{l}_{k}"][:] for k in agg_keys(has_ea, rows=True)}
+        cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
+        curs.append(cur)
+        qs.append(q)
+        out, res = _layer_fwd(aggp, cellp, cur, q, vals_ref[l], ea, P, Pm,
+                              emask, nmask, hdim)
+        out = out.astype(dt)
+        resids.append(res)
+        aggps.append(aggp)
+        cellps.append(cellp)
+        cur = out
+        q = out
+
+    dea_acc = jnp.zeros(dea_ref.shape, _F32) if has_ea else None
+    g_next = None  # d(out_l) arriving from layer l+1 (via its cur and q)
+    for l in range(nlayers - 1, -1, -1):
+        g_l = g_ref[l, :, :].astype(_F32)                      # [Kn, H] f32
+        if g_next is not None:
+            g_l = g_l + g_next
+        g_l = g_l * nmask
+        dcur, dq, dval, dea_l, daggp, dcell = _layer_bwd(
+            aggps[l], cellps[l], curs[l], qs[l], vals_ref[l], ea, P,
+            resids[l], g_l, hdim)
+        dvals_ref[l, :, :] = dval.astype(dvals_ref.dtype)
+        for k, v in daggp.items():
+            ref = dwrefs[f"a{l}_{k}"]
+            ref[:] = v.astype(ref.dtype)
+        for k, v in dcell.items():
+            ref = dwrefs[f"c{l}_{k}"]
+            ref[:] = v.astype(ref.dtype)
+        if dea_l is not None:
+            dea_acc = dea_acc + dea_l.astype(_F32)
+        g_next = dcur + dq
+    dx_ref[:] = g_next.astype(dx_ref.dtype)
+    if has_ea:
+        dea_ref[:] = dea_acc.astype(dea_ref.dtype)
+    else:
+        dea_ref[:] = jnp.zeros_like(dea_ref)
+
+
+# ------------------------------------------------------------ entry points
+
+def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
+                      weights):
+    """Whole-row fused forward. vals [L, Ke, H]; returns outs [L, Kn, H].
+
+    static = (has_ea, hidden_dim, num_layers). `weights` is the ordered
+    dict from flatten_row_weights."""
+    has_ea, hdim, nlayers = static
+    names = _names(nlayers, has_ea)
+    args = _prep_row(xin, vals, ea, edst, emask, nmask)
+    kn = xin.shape[0]
+
+    def kernel(*refs):
+        _row_fwd_kernel((has_ea, hdim, nlayers), names, refs)
+
     fn = pl.pallas_call(
-        functools.partial(_fwd_kernel, has_ea, hdim),
-        out_shape=jax.ShapeDtypeStruct((kn, hdim), cur.dtype),
-        in_specs=_vmem_specs(16),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nlayers, kn, hdim), xin.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(names)),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
+        **_call_kw(interpret),
     )
-    return fn(*args, wq, wk, b, we, be, wih, whh, bih, bhh)
+    return fn(*args, *[weights[n] for n in names])
 
 
-def _row_fwd(static, interpret, cur, q, val, ea, edst, emask, nmask,
-             wq, wk, b, we, be, wih, whh, bih, bhh):
-    out = fused_attn_gru_row(static, interpret, cur, q, val, ea, edst,
-                             emask, nmask, wq, wk, b, we, be, wih, whh,
-                             bih, bhh)
-    return out, (cur, q, val, ea, edst, emask, nmask,
-                 wq, wk, b, we, be, wih, whh, bih, bhh)
+def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
+    """Small dedicated kernel: g + segment_sum(tg over local source slot).
 
+    Kept separate from the main backward kernel to stay under the scoped
+    VMEM limit; expressed as a one-hot MXU matmul because the equivalent
+    XLA one-hot einsum gets pattern-rewritten into a scatter (~40us/row
+    measured on v5e; this is ~1us)."""
+    nlayers, _, hdim = g.shape
+    kt = tdst.shape[0]
+    tdst2 = tdst.astype(jnp.int32).reshape(kt, 1)
+    tmask2 = tmask.astype(_F32).reshape(kt, 1)
 
-def _row_bwd(static, interpret, res, g):
-    has_ea, hdim = static
-    (cur, q, val, ea, edst, emask, nmask,
-     wq, wk, b, we, be, wih, whh, bih, bhh) = res
-    args = _prep(cur, q, val, ea, edst, emask, nmask)
-    ea2 = args[3]
-    out_shapes = (
-        jax.ShapeDtypeStruct(cur.shape, cur.dtype),   # d_cur
-        jax.ShapeDtypeStruct(q.shape, q.dtype),       # d_q
-        jax.ShapeDtypeStruct(val.shape, val.dtype),   # d_val
-        jax.ShapeDtypeStruct(ea2.shape, ea2.dtype),   # d_ea
-        jax.ShapeDtypeStruct(wq.shape, wq.dtype),
-        jax.ShapeDtypeStruct(wk.shape, wk.dtype),
-        jax.ShapeDtypeStruct(b.shape, b.dtype),
-        jax.ShapeDtypeStruct(we.shape, we.dtype),
-        jax.ShapeDtypeStruct(be.shape, be.dtype),
-        jax.ShapeDtypeStruct(wih.shape, wih.dtype),
-        jax.ShapeDtypeStruct(whh.shape, whh.dtype),
-        jax.ShapeDtypeStruct(bih.shape, bih.dtype),
-        jax.ShapeDtypeStruct(bhh.shape, bhh.dtype),
-    )
+    def kernel(g_ref, tg_ref, tdst_ref, tmask_ref, out_ref):
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
+        OH = ((tcol == tdst_ref[:]) & (tmask_ref[:] > 0)).astype(tg_ref.dtype)
+        for l in range(nlayers):
+            out_ref[l, :, :] = (g_ref[l, :, :].astype(_F32)
+                                + _dg(OH, tg_ref[l, :, :], 0, 0)
+                                ).astype(out_ref.dtype)
+
     fn = pl.pallas_call(
-        functools.partial(_bwd_kernel, has_ea, hdim),
-        out_shape=out_shapes,
-        in_specs=_vmem_specs(17),
-        out_specs=tuple(_vmem_specs(13)),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(g.shape, g.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        **_call_kw(interpret),
     )
-    (dcur, dq, dval, dea, dwq, dwk, db, dwe, dbe,
-     dwih, dwhh, dbih, dbhh) = fn(*args, wq, wk, b, we, be,
-                                  wih, whh, bih, bhh, g)
-    return (dcur, dq, dval, dea if has_ea else None, None, None, None,
-            dwq, dwk, db, dwe, dbe, dwih, dwhh, dbih, dbhh)
+    return fn(g, tg, tdst2, tmask2)
 
 
-fused_attn_gru_row.defvjp(_row_fwd, _row_bwd)
+def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
+                       weights, g, tg, tdst, tmask):
+    """Whole-row fused backward (two pallas calls: tg-accumulate + main).
+
+    g     [L, Kn, H] cotangent slice of this row's outputs
+    tg    [L, Kt, H] edge grads flowing into this row (caller-gathered
+          from the contiguous edge-grad buffer; garbage slots zero)
+    tdst  [Kt] local source slot of each transpose edge (pad = Kn)
+    Returns (dx [Kn, emb], dvals [L, Ke, H], dea or None, dw flat dict).
+    """
+    has_ea, hdim, nlayers = static
+    in_names = _names(nlayers, has_ea, rows=True)   # incl. row-form copies
+    out_names = _names(nlayers, has_ea)             # grad'able weights only
+    args = _prep_row(xin, vals, ea, edst, emask, nmask)
+    ea2 = args[2]
+    kn = xin.shape[0]
+    g_total = _tg_accumulate(interpret, g, tg, tdst, tmask, kn)
+
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct(xin.shape, xin.dtype),
+         jax.ShapeDtypeStruct(vals.shape, vals.dtype),
+         jax.ShapeDtypeStruct(ea2.shape, ea2.dtype)]
+        + [jax.ShapeDtypeStruct(weights[n].shape, weights[n].dtype)
+           for n in out_names])
+
+    def kernel(*refs):
+        _row_bwd_kernel((has_ea, hdim, nlayers), (in_names, out_names), refs)
+
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (6 + len(in_names) + 1),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)]
+                        * (3 + len(out_names))),
+        **_call_kw(interpret),
+    )
+    outs = fn(*args, *[weights[n] for n in in_names], g_total)
+    dx, dvals, dea = outs[0], outs[1], outs[2]
+    dw = dict(zip(out_names, outs[3:]))
+    return dx, dvals, (dea if has_ea else None), dw
