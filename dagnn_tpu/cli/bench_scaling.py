@@ -88,6 +88,39 @@ def main(argv=None):
         results["dp_scaling_efficiency"] = eff
         print(f"DP scaling efficiency at {n_dev} devices: {eff:.1%}")
 
+    # --- edge partitioning: ONE batched DAG sharded across the mesh ---
+    from dagnn_tpu.parallel.edge_partition import (
+        partition_schedule_sharded, ep_readout_aux, make_ep_train_step)
+    import dataclasses as dc
+
+    def loss_head(logits, y, gmask):
+        return tok_loss(logits, y["y_arr"], gmask)
+
+    for d in sorted({1, n_dev}):
+        chunk = max(64, 64 * d)
+        pad1 = ge._pad_for(graphs, n_shards=1, chunk=chunk)
+        pad1 = dc.replace(pad1, nodes_per_level=chunk)
+        batch = collate(graphs, pad1)
+        eps_f, st_f = partition_schedule_sharded(batch.fwd, d)
+        eps_r, st_r = partition_schedule_sharded(batch.rev, d)
+        aux = ep_readout_aux(batch, (eps_f, eps_r), cfg)
+        mesh = make_mesh(d, ("ep",))
+        step = make_ep_train_step(cfg, mesh, (st_f, st_r), loss_head, opt)
+        sargs = (params, opt.init(params), jnp.asarray(batch.x),
+                 jnp.asarray(batch.edge_attr),
+                 jax.tree.map(jnp.asarray, (eps_f, eps_r)),
+                 jax.tree.map(jnp.asarray, aux),
+                 jax.tree.map(jnp.asarray, batch.y),
+                 jnp.asarray(batch.graph_mask))
+        dt = timeit(lambda *a: step(*a)[2], sargs, args.iters)
+        results[f"ep_{d}"] = n_edges / dt
+        print(f"EP x{d}: {n_edges / dt:,.0f} edges/s ({dt * 1e3:.1f} ms/step)")
+
+    if n_dev > 1:
+        eff = results[f"ep_{n_dev}"] / (n_dev * results["ep_1"])
+        results["ep_scaling_efficiency"] = eff
+        print(f"EP scaling efficiency at {n_dev} devices: {eff:.1%}")
+
     print(json.dumps({k: round(v, 1) for k, v in results.items()}))
     return results
 

@@ -6,16 +6,44 @@ validated on a host-platform mesh exactly as the driver's dryrun does.
 The axon environment registers a TPU backend via sitecustomize and forces
 ``jax_platforms`` — plain env vars are not enough, so we override through
 jax.config before any backend is touched.
+
+TPU tier: ``DAGNN_TPU_TESTS=1 pytest -m tpu`` skips the CPU override and
+runs the tpu-marked subset (tests/test_tpu.py) on the real chip.
 """
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_TIER = os.environ.get("DAGNN_TPU_TESTS") == "1"
+
+if not TPU_TIER:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process spawn etc.)")
+    config.addinivalue_line(
+        "markers", "tpu: requires a real TPU chip (DAGNN_TPU_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    if TPU_TIER:
+        skip = pytest.mark.skip(reason="TPU tier: only -m tpu tests run")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(reason="needs DAGNN_TPU_TESTS=1 + real chip")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)

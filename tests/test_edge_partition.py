@@ -53,3 +53,164 @@ def test_partition_schedule_covers_all_edges():
     # local dst slots within [0, w)
     w = batch.fwd.node_ids.shape[1] // 4
     assert (ps.edge_dst[ps.edge_mask] < w).all()
+
+
+# ---------------------------------------------------------------------------
+# Sharded-state scheme (training path)
+# ---------------------------------------------------------------------------
+
+from dagnn_tpu.parallel.edge_partition import (
+    partition_schedule_sharded, ep_readout_aux, make_ep_train_step)
+from dagnn_tpu.nn.dagnn import dagnn_forward
+from dagnn_tpu.train.losses import tok_loss
+from dagnn_tpu.train.optim import make_optimizer
+
+
+def _ep_setup(rng, n_dev, bidirectional=True):
+    cfg = DAGNNConfig(num_vocab=7, max_seq_len=2, emb_dim=8, hidden_dim=8,
+                      num_rels=2, num_layers=2, bidirectional=bidirectional,
+                      agg="attn_h", out_pool="max",
+                      encoder=EncoderSpec("identity", emb_dim=8))
+    graphs = [random_dag_graph(rng, n, 8) for n in (9, 7, 12, 10)]
+    for i, g in enumerate(graphs):
+        g.y = {"y_arr": rng.integers(0, 7, 2)}
+    pad = PadConfig.for_graphs(graphs, chunk_size=2 * n_dev)
+    batch = collate(graphs, pad)
+    params = dagnn_init(jax.random.PRNGKey(0), cfg)
+    return cfg, graphs, batch, params
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_ep_sharded_train_step_matches_single_device(n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    cfg, graphs, batch, params = _ep_setup(rng, n_dev)
+
+    def loss_head(logits, y, gmask):
+        return tok_loss(logits, y["y_arr"], gmask)
+
+    # single-device reference loss + one optimizer step
+    opt = make_optimizer(lr=1e-2, clip=0.25)
+    opt_state = opt.init(params)
+
+    def ref_loss(p, b):
+        return loss_head(dagnn_forward(p, cfg, b), b.y, b.graph_mask)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params, batch)
+
+    # sharded-state EP step
+    eps_f, st_f = partition_schedule_sharded(batch.fwd, n_dev)
+    eps_r, st_r = partition_schedule_sharded(batch.rev, n_dev)
+    eps_dirs = (eps_f, eps_r)
+    aux = ep_readout_aux(batch, eps_dirs, cfg)
+    mesh = make_mesh(n_dev, ("ep",))
+    step = make_ep_train_step(cfg, mesh, (st_f, st_r), loss_head, opt)
+    p2, s2, loss = step(params, opt_state, jnp.asarray(batch.x),
+                        jnp.asarray(batch.edge_attr),
+                        jax.tree.map(jnp.asarray, eps_dirs),
+                        jax.tree.map(jnp.asarray, aux),
+                        jax.tree.map(jnp.asarray, batch.y),
+                        jnp.asarray(batch.graph_mask))
+    assert abs(float(loss) - float(ref_l)) < 1e-4, (float(loss), float(ref_l))
+
+    # gradient parity: apply reference grads with the same optimizer
+    ref_updates, _ = opt.update(ref_g, opt.init(params), params)
+    ref_p2 = jax.tree.map(lambda a, u: a + u, params, ref_updates)
+    errs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p2, ref_p2)
+    assert max(jax.tree.leaves(errs)) < 1e-4, errs
+
+
+def test_ep_sharded_memory_shrinks():
+    """Own+halo buffer is strictly smaller than the replicated buffer."""
+    rng = np.random.default_rng(4)
+    graphs = [random_dag_graph(rng, 20, 6) for _ in range(4)]
+    pad = PadConfig.for_graphs(graphs, chunk_size=8)
+    batch = collate(graphs, pad)
+    R, Kn = batch.fwd.node_ids.shape
+    for D in (2, 4):
+        eps, st = partition_schedule_sharded(batch.fwd, D)
+        local = st.rows * st.own_w + st.halo
+        assert local < R * Kn, (local, R * Kn)
+
+
+def test_ep_dp_two_axis_mesh():
+    """(dp, ep) 2-axis mesh: 2 dp groups x 2-way edge partitioning; loss
+    must equal the mean of the two groups' single-device losses."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    n_ep, n_dp = 2, 2
+    rng = np.random.default_rng(5)
+    cfg = DAGNNConfig(num_vocab=7, max_seq_len=2, emb_dim=8, hidden_dim=8,
+                      num_rels=2, num_layers=2, bidirectional=True,
+                      agg="attn_h", out_pool="max",
+                      encoder=EncoderSpec("identity", emb_dim=8))
+    params = dagnn_init(jax.random.PRNGKey(0), cfg)
+
+    def loss_head(logits, y, gmask):
+        return tok_loss(logits, y["y_arr"], gmask)
+
+    group_losses, stacked = [], []
+    pad = None
+    for gi in range(n_dp):
+        graphs = [random_dag_graph(rng, n, 8) for n in (9, 7, 12, 10)]
+        for g in graphs:
+            g.y = {"y_arr": rng.integers(0, 7, 2)}
+        if pad is None:
+            # one shared PadConfig so per-group shapes agree
+            pad = PadConfig.for_graphs(graphs, chunk_size=2 * n_ep)
+            import dataclasses as _dc
+            pad = _dc.replace(pad, max_nodes=pad.max_nodes + 16,
+                              max_edges=pad.max_edges + 32,
+                              max_levels=pad.max_levels + 4,
+                              edges_per_level=pad.edges_per_level + 16,
+                              tgrad_per_level=0)
+        batch = collate(graphs, pad)
+        ref = loss_head(dagnn_forward(params, cfg, batch), batch.y,
+                        batch.graph_mask)
+        group_losses.append(float(ref))
+        eps_f, st_f = partition_schedule_sharded(batch.fwd, n_ep)
+        eps_r, st_r = partition_schedule_sharded(batch.rev, n_ep)
+        aux = ep_readout_aux(batch, (eps_f, eps_r), cfg)
+        stacked.append((batch, (eps_f, eps_r), aux, (st_f, st_r)))
+
+    # pin static widths so both groups compile to identical shapes
+    widths = {}
+    for _, (ef, er), _, _ in stacked:
+        for eps in (ef, er):
+            widths["ke_d"] = max(widths.get("ke_d", 0), eps.e_dst.shape[-1])
+            widths["kt"] = max(widths.get("kt", 0), eps.t_col.shape[-1])
+            widths["ws"] = max(widths.get("ws", 0), eps.hw_col.shape[-1])
+    halo = 0
+    for b, _, _, (stf, str_) in stacked:
+        halo = max(halo, stf.halo, str_.halo)
+    widths["halo"] = halo
+    stacked2 = []
+    for b, _, _, _ in stacked:
+        ef, stf = partition_schedule_sharded(b.fwd, n_ep, widths=widths)
+        er, str_ = partition_schedule_sharded(b.rev, n_ep, widths=widths)
+        aux = ep_readout_aux(b, (ef, er), cfg)
+        stacked2.append((b, (ef, er), aux, (stf, str_)))
+    stacked = stacked2
+
+    eps_stack = jax.tree.map(lambda *a: np.stack(a), *[st[1] for st in stacked])
+    aux_stack = jax.tree.map(lambda *a: np.stack(a), *[st[2] for st in stacked])
+    x_stack = np.stack([st[0].x for st in stacked])
+    ea_stack = np.stack([st[0].edge_attr for st in stacked])
+    y_stack = jax.tree.map(lambda *a: np.stack(a), *[st[0].y for st in stacked])
+    gm_stack = np.stack([st[0].graph_mask for st in stacked])
+
+    from dagnn_tpu.parallel.mesh import make_hybrid_mesh
+    mesh = make_hybrid_mesh(dp=n_dp, ep=n_ep)
+    opt = make_optimizer(lr=1e-2, clip=0.25)
+    step = make_ep_train_step(cfg, mesh, stacked[0][3], loss_head, opt,
+                              axis="ep", dp_axis="dp")
+    _, _, loss = step(params, opt.init(params),
+                      jnp.asarray(x_stack), jnp.asarray(ea_stack),
+                      jax.tree.map(jnp.asarray, eps_stack),
+                      jax.tree.map(jnp.asarray, aux_stack),
+                      jax.tree.map(jnp.asarray, y_stack),
+                      jnp.asarray(gm_stack))
+    expect = float(np.mean(group_losses))
+    assert abs(float(loss) - expect) < 1e-4, (float(loss), expect)
