@@ -134,32 +134,55 @@ def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030)
 
 
 def load_dataset(args, task: str):
-    """Returns (train, valid, test, idx2vocab). Real raw dir or synthetic."""
+    """Returns (train, valid, test, idx2vocab).
+
+    Data source, in order: a processed/raw ogbg-code2 tree under
+    --data_root (downloaded + cached by Code2Dataset on first use,
+    dataset_pyg.py:106-166 equivalent), else the synthetic AST generator.
+    """
     if args.data_root and os.path.isdir(os.path.join(args.data_root, "raw")):
+        # --data_root pointing directly at an extracted dataset dir
         raws = code2.read_code2_raw(os.path.join(args.data_root, "raw"))
         split = code2.read_split(os.path.join(args.data_root, "split", "project"))
-        train_idx = split["train"]
-        if args.train_idx:
-            sub = code2.read_train_subset_idx(args.train_idx)
-            train_idx = train_idx[sub]  # main_pyg.py:216-219
-        vocab2idx, idx2vocab = code2.get_vocab_mapping(
-            [raws[i]["y"] for i in split["train"]], args.num_vocab)
-        conv = lambda idxs: [code2.raw_to_dag(raws[i], vocab2idx, args.max_seq_len)
-                             for i in idxs]
-        tr, va, te = conv(train_idx), conv(split["valid"]), conv(split["test"])
-    else:
-        n = args.synthetic or 300
-        graphs = synthetic_ast_batch(args.seed, n, mean_nodes=60,
-                                     vocab=args.num_vocab + 2,
-                                     seq_len=args.max_seq_len)
-        for g in graphs:
-            g.y["len_longest_path"] = np.asarray(
-                min(g.len_longest_path, LP_NUM_CLASSES - 1), np.int32)
-        k = n // 10
-        tr, va, te = graphs[: n - 2 * k], graphs[n - 2 * k: n - k], graphs[n - k:]
-        idx2vocab = [f"tok{i}" for i in range(args.num_vocab + 1)] + [code2.EOS]
+        return _split_and_convert(args, raws, split)
+    if args.data_root:
+        # --data_root as a dataset root: download + process-cache on first use
+        from dagnn_tpu.data.code2_dataset import Code2Dataset
+        try:
+            ds = Code2Dataset(args.data_root)
+            return _split_and_convert(args, ds, ds.split_idx)
+        except (RuntimeError, FileNotFoundError) as e:
+            print(f"real ogbg-code2 unavailable: {e}\n"
+                  f"-> falling back to synthetic AST data")
+    n = args.synthetic or 300
+    graphs = synthetic_ast_batch(args.seed, n, mean_nodes=60,
+                                 vocab=args.num_vocab + 2,
+                                 seq_len=args.max_seq_len)
+    for g in graphs:
+        g.y["len_longest_path"] = np.asarray(
+            min(g.len_longest_path, LP_NUM_CLASSES - 1), np.int32)
+    k = n // 10
+    tr, va, te = graphs[: n - 2 * k], graphs[n - 2 * k: n - k], graphs[n - k:]
+    idx2vocab = [f"tok{i}" for i in range(args.num_vocab + 1)] + [code2.EOS]
     if args.smoke:
         tr, va, te = tr[:50], va[:10], te[:10]  # main_pyg.py:225-229
+    return tr, va, te, idx2vocab
+
+
+def _split_and_convert(args, raws, split):
+    train_idx = split["train"]
+    if args.train_idx:
+        sub = code2.read_train_subset_idx(args.train_idx)
+        train_idx = train_idx[sub]  # main_pyg.py:216-219
+    valid_idx, test_idx = split["valid"], split["test"]
+    if args.smoke:  # main_pyg.py:225-229
+        train_idx, valid_idx, test_idx = (
+            train_idx[:50], valid_idx[:10], test_idx[:10])
+    vocab2idx, idx2vocab = code2.get_vocab_mapping(
+        [raws[i]["y"] for i in split["train"]], args.num_vocab)
+    conv = lambda idxs: [code2.raw_to_dag(raws[i], vocab2idx, args.max_seq_len)
+                         for i in idxs]
+    tr, va, te = conv(train_idx), conv(valid_idx), conv(test_idx)
     return tr, va, te, idx2vocab
 
 
@@ -218,6 +241,9 @@ def run(args, task: str):
     name = args.name or f"{args.gnn}_{task}"
     train, valid, test, idx2vocab = load_dataset(args, task)
     print(f"dataset: {len(train)} train / {len(valid)} valid / {len(test)} test")
+    # head size = actual vocab incl. UNK/EOS (reference main_pyg.py:396
+    # passes len(vocab2idx); smaller corpora yield < num_vocab words)
+    args.num_vocab = len(idx2vocab) - 2
     cfg = build_model_cfg(args, task)
     is_dagnn = isinstance(cfg, DAGNNConfig)
     opt = make_optimizer(args.lr, args.clip)

@@ -83,13 +83,17 @@ def decode_from_latent(model_bundle, z, attempts, data_type, rng):
     `attempts` times, keep valid graphs, return the most common encoding."""
     from dagnn_tpu.vae.dagnn_vae import dagnn_vae_decode
     cfg, params = model_bundle
-    votes: List[Counter] = [Counter() for _ in range(len(z))]
+    n = len(z)
+    votes: List[Counter] = [Counter() for _ in range(n)]
+    # All attempts ride one device dispatch: tile z to [attempts * n] rows
+    # (decode is fully device-resident, so the batch axis is free parallelism).
+    z_tiled = jnp.tile(jnp.asarray(z), (attempts, 1))
+    types, adj, nv = dagnn_vae_decode(params, cfg, z_tiled, rng)
     for a in range(attempts):
-        rng, k = jax.random.split(rng)
-        types, adj, nv = dagnn_vae_decode(params, cfg, jnp.asarray(z), k)
-        for i in range(len(z)):
-            g = NAGraph(types=types[i][: nv[i]],
-                        adj=adj[i][: nv[i], : nv[i]].astype(np.uint8))
+        for i in range(n):
+            r = a * n + i
+            g = NAGraph(types=types[r][: nv[r]],
+                        adj=adj[r][: nv[r], : nv[r]].astype(np.uint8))
             if data_type == "ENAS":
                 if is_valid_enas(g) and g.num_nodes == cfg.max_n:
                     votes[i][str(graph_to_enas_row(g))] += 1

@@ -269,10 +269,9 @@ def main(argv=None):
         order = rnd.permutation(len(train_data))
         tot = rec = kl = 0.0
         for i in range(0, len(order), args.batch_size):
+            # exact batches like the reference (dvae/train.py:228-235); the
+            # short tail batch costs one extra jit specialization per run
             batch_graphs = [train_data[j] for j in order[i:i + args.batch_size]]
-            if len(batch_graphs) < args.batch_size:
-                batch_graphs += [train_data[j] for j in
-                                 order[: args.batch_size - len(batch_graphs)]]
             prepared = model.prepare(batch_graphs)
             rng, k = jax.random.split(rng)
             params, opt_state, l, r, kld_v = step(

@@ -360,12 +360,92 @@ def dvae_encode_sequential(params, cfg: DVAEConfig, types, adj, nv):
     return linear(params["fc1"], hg), linear(params["fc2"], hg)
 
 
+def _decode_body(dec, cfg: DVAEConfig, z, rng, stochastic, attn_params):
+    """Device-resident decode: the entire max_n-step autoregression traced
+    into one XLA program (unrolled — max_n is small and static), all
+    conditional updates as masks. Bit-identical to `dvae_decode_host`
+    (same rng split order) but with zero host round-trips.
+    """
+    B = z.shape[0]
+    H0 = jnp.tanh(linear(dec["fc3"], z))
+    types = jnp.full((B, cfg.max_n), cfg.start_type, jnp.int32)
+    adj = jnp.zeros((B, cfg.max_n, cfg.max_n), jnp.float32)
+    nv = jnp.full((B,), 1, jnp.int32)
+    finished = jnp.zeros((B,), bool)
+
+    state = jnp.zeros((cfg.num_layers, B, cfg.max_n, cfg.hs), z.dtype)
+    types_oh = jax.nn.one_hot(types, cfg.nvt, dtype=z.dtype)
+    state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, 0, H0=H0,
+                             attn_params=attn_params)
+    vrange = jnp.arange(cfg.max_n)
+
+    for idx in range(1, cfg.max_n):
+        if idx == cfg.max_n - 1:
+            new_types = jnp.full((B,), cfg.end_type, jnp.int32)
+        else:
+            Hg = _graph_state(cfg, state, nv)
+            logits = _mlp2(dec["add_vertex"], Hg)
+            rng, k = jax.random.split(rng)
+            if stochastic:
+                new_types = jax.random.categorical(k, logits).astype(jnp.int32)
+            else:
+                new_types = jnp.argmax(logits, -1).astype(jnp.int32)
+        grow = ~finished
+        types = types.at[:, idx].set(jnp.where(grow, new_types, types[:, idx]))
+        nv = jnp.where(grow, idx + 1, nv)
+        types_oh = jax.nn.one_hot(types, cfg.nvt, dtype=z.dtype)
+        state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, idx,
+                                 attn_params=attn_params)
+
+        # connect loose ends to a freshly sampled END vertex
+        # (models_pyg.py:383-390): vertices < idx with out-degree 0
+        just_ended = grow & (new_types == cfg.end_type)
+        loose = (adj.sum(-1) == 0.0) & (vrange[None, :] < idx)  # [B, max_n]
+        wire = just_ended[:, None] & loose
+        adj = adj.at[:, :, idx].set(jnp.where(wire, 1.0, adj[:, :, idx]))
+        finished = finished | just_ended
+        # re-propagate (idempotent for graphs whose adj column is unchanged)
+        state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, idx,
+                                 attn_params=attn_params)
+
+        for vi in range(idx - 1, -1, -1):
+            Hvi = state[-1][:, vi]
+            H = state[-1][:, idx]
+            logits = _edge_score_logits(dec, cfg, Hvi, H, H0)  # [B]
+            prob = jax.nn.sigmoid(logits)
+            rng, k = jax.random.split(rng)
+            if stochastic:
+                bits = jax.random.uniform(k, prob.shape) < prob
+            else:
+                bits = prob > 0.5
+            add = bits & ~finished & (nv > idx)
+            adj = adj.at[:, vi, idx].set(jnp.where(add, 1.0, adj[:, vi, idx]))
+            state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, idx,
+                                     attn_params=attn_params)
+    return types, adj, nv
+
+
+_decode_jit = jax.jit(_decode_body, static_argnames=("cfg", "stochastic"))
+
+
 def dvae_decode(dec, cfg: DVAEConfig, z, rng=None, stochastic=True,
                 attn_params=None):
-    """Stochastic/greedy decoding (models_pyg.py:338-396). Host-driven loop
-    over at most max_n vertex steps; returns (types [B, max_n] np,
-    adj [B, max_n, max_n] np, nv [B] np). Finished graphs get their loose
-    ends connected to the END vertex.
+    """Stochastic/greedy decoding (models_pyg.py:338-396), device-resident:
+    one jitted dispatch for the whole batch of decodes. Returns
+    (types [B, max_n] np, adj [B, max_n, max_n] np, nv [B] np). Finished
+    graphs get their loose ends connected to the END vertex.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    types, adj, nv = _decode_jit(dec, cfg, jnp.asarray(z), rng, stochastic,
+                                 attn_params)
+    return np.asarray(types), np.asarray(adj), np.asarray(nv)
+
+
+def dvae_decode_host(dec, cfg: DVAEConfig, z, rng=None, stochastic=True,
+                     attn_params=None):
+    """Host-driven reference implementation of `dvae_decode` (kept for
+    parity testing; the rng split order matches the jitted path exactly).
     """
     B = z.shape[0]
     if rng is None:

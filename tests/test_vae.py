@@ -152,6 +152,31 @@ def test_decode_produces_valid_shapes():
         assert (d < nv[b]).all()
 
 
+def test_decode_device_matches_host():
+    """The jitted device-resident decode reproduces the host-driven loop
+    bit-for-bit (identical rng split order), stochastic and greedy, for
+    gated_sum and attention decoders."""
+    from dagnn_tpu.vae.dvae import dvae_decode_host
+    for dec_agg, stoch in (("gated_sum", True), ("gated_sum", False),
+                           ("attn", True)):
+        cfg = DVAEConfig(max_n=8, nvt=8, hs=10, nz=4, vid=True,
+                         dec_agg=dec_agg)
+        dec = dvae_decoder_init(jax.random.PRNGKey(3), cfg)
+        attn = None
+        if dec_agg == "attn":
+            from dagnn_tpu.ops.linear import linear_init
+            attn = {"attn_lin": linear_init(jax.random.PRNGKey(9),
+                                            cfg.nvt + cfg.vs, 1)}
+        z = jax.random.normal(jax.random.PRNGKey(4), (6, cfg.nz))
+        t_h, a_h, n_h = dvae_decode_host(dec, cfg, z, jax.random.PRNGKey(5),
+                                         stochastic=stoch, attn_params=attn)
+        t_d, a_d, n_d = dvae_decode(dec, cfg, z, jax.random.PRNGKey(5),
+                                    stochastic=stoch, attn_params=attn)
+        assert (t_h == t_d).all(), (dec_agg, stoch)
+        assert (a_h == a_d).all(), (dec_agg, stoch)
+        assert (n_h == n_d).all(), (dec_agg, stoch)
+
+
 def test_bn_synthetic_loss():
     import ast
     rows = [ast.literal_eval(r)[0] for r in synthetic_bn_rows(3, seed=1)]
