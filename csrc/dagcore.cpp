@@ -63,88 +63,99 @@ int dag_topo_levels_batch(const int64_t* src, const int64_t* dst,
     return 0;
 }
 
-// Row/slot assignment for the chunked wavefront schedule
-// (dag/schedule.py semantics): given per-node levels and a chunk width,
-// assign (row, pos) per node; returns the number of rows.
-int64_t dag_row_assign(const int32_t* level, int64_t n, int64_t chunk,
-                       int32_t* out_row, int32_t* out_pos) {
-    int32_t max_lvl = -1;
-    for (int64_t i = 0; i < n; ++i)
-        if (level[i] > max_lvl) max_lvl = level[i];
-    int64_t L = (int64_t)max_lvl + 1;
-    if (L <= 0) return 0;
-    std::vector<int64_t> counts(L, 0);
-    for (int64_t i = 0; i < n; ++i) counts[level[i]]++;
-    std::vector<int64_t> row_base(L + 1, 0);
-    for (int64_t l = 0; l < L; ++l) {
-        int64_t rows = (counts[l] + chunk - 1) / chunk;
-        if (rows < 1) rows = 1;
-        row_base[l + 1] = row_base[l] + rows;
+// Greedy stagger packing (dag/schedule.py stagger_offsets semantics,
+// bit-identical tie-breaking): choose a per-graph level offset that
+// minimises the total padded scan-row count. Deepest graph first (then
+// widest, then lowest id), best-fit start position (first argmin).
+// level/node_graph: [n] per-node; edge_dst: [e] message-target node ids
+// (only read when edge_budget > 0; pass e = 0 to disable).
+// out_offs: [num_graphs]. Returns 0 (or -1 on invalid input).
+static inline int64_t rows_of_one(int64_t w, int64_t ev, int64_t kn,
+                                  int64_t edge_budget) {
+    int64_t r = (w + kn - 1) / kn;
+    if (w > 0 && r < 1) r = 1;
+    if (edge_budget > 0) {
+        int64_t be = (ev + edge_budget - 1) / edge_budget;
+        int64_t cap = w > 1 ? w : 1;
+        int64_t alt = (be < cap ? be : cap) * (w > 0 ? 1 : 0);
+        if (alt > r) r = alt;
     }
-    // slot within level = rank by node id (stable): count in level order
-    std::vector<int64_t> seen(L, 0);
-    for (int64_t i = 0; i < n; ++i) {
-        int64_t l = level[i];
-        int64_t slot = seen[l]++;
-        out_row[i] = (int32_t)(row_base[l] + slot / chunk);
-        out_pos[i] = (int32_t)(slot % chunk);
-    }
-    return row_base[L];
+    return r;
 }
 
-// Balanced row/slot assignment (dag/schedule.py balance=True semantics):
-// nodes within a level are dealt serpentine in descending (in+out)-degree
-// order across the level's rows, evening per-row edge loads; levels with
-// more than rows*edge_budget incoming edges get extra rows (edge_budget=0
-// disables). indeg/outdeg: per-node degree arrays. Returns row count.
-int64_t dag_row_assign_balanced(const int32_t* level, const int64_t* indeg,
-                                const int64_t* outdeg, int64_t n,
-                                int64_t chunk, int64_t edge_budget,
-                                int32_t* out_row, int32_t* out_pos) {
-    int32_t max_lvl = -1;
-    for (int64_t i = 0; i < n; ++i)
-        if (level[i] > max_lvl) max_lvl = level[i];
-    int64_t L = (int64_t)max_lvl + 1;
-    if (L <= 0) return 0;
-    std::vector<int64_t> counts(L, 0), lvl_edges(L, 0);
+int dag_stagger_offsets(const int64_t* level, const int64_t* node_graph,
+                        int64_t n, int64_t num_graphs,
+                        const int64_t* edge_dst, int64_t e,
+                        int64_t kn, int64_t edge_budget,
+                        int64_t* out_offs) {
+    for (int64_t g = 0; g < num_graphs; ++g) out_offs[g] = 0;
+    if (num_graphs <= 1 || n == 0) return 0;
+
+    std::vector<int64_t> depth(num_graphs, 0);
     for (int64_t i = 0; i < n; ++i) {
-        counts[level[i]]++;
-        lvl_edges[level[i]] += indeg[i];
+        int64_t g = node_graph[i];
+        if (g < 0 || g >= num_graphs) return -1;
+        if (level[i] + 1 > depth[g]) depth[g] = level[i] + 1;
     }
-    std::vector<int64_t> rows_pl(L, 0), row_base(L + 1, 0);
-    for (int64_t l = 0; l < L; ++l) {
-        int64_t rows = (counts[l] + chunk - 1) / chunk;
-        if (rows < 1) rows = 1;
-        if (edge_budget > 0) {
-            int64_t by_edges = (lvl_edges[l] + edge_budget - 1) / edge_budget;
-            int64_t cap = counts[l] > 0 ? counts[l] : 1;
-            if (by_edges > cap) by_edges = cap;
-            if (by_edges > rows) rows = by_edges;
-        }
-        rows_pl[l] = rows;
-        row_base[l + 1] = row_base[l] + rows;
+    int64_t max_d = 0, total_d = 0;
+    for (int64_t g = 0; g < num_graphs; ++g) {
+        if (depth[g] > max_d) max_d = depth[g];
+        total_d += depth[g];
     }
-    // bucket nodes by level in id order, then stable-sort each bucket by
-    // descending load (ties keep id order) — matches numpy lexsort keys
-    std::vector<int64_t> lvl_start(L + 1, 0);
-    for (int64_t l = 0; l < L; ++l) lvl_start[l + 1] = lvl_start[l] + counts[l];
-    std::vector<int64_t> bucket(n), fill(L, 0);
-    for (int64_t i = 0; i < n; ++i)
-        bucket[lvl_start[level[i]] + fill[level[i]]++] = i;
-    for (int64_t l = 0; l < L; ++l) {
-        int64_t* b = bucket.data() + lvl_start[l];
-        std::stable_sort(b, b + counts[l], [&](int64_t a, int64_t c) {
-            return indeg[a] + outdeg[a] > indeg[c] + outdeg[c];
-        });
-        int64_t r = rows_pl[l];
-        for (int64_t k = 0; k < counts[l]; ++k) {
-            int64_t pass = k / r, pip = k % r;
-            int64_t row_in_lvl = (pass % 2 == 0) ? pip : r - 1 - pip;
-            out_row[b[k]] = (int32_t)(row_base[l] + row_in_lvl);
-            out_pos[b[k]] = (int32_t)pass;
+    if (max_d == 0) return 0;
+
+    // per-graph (width, edge-load) profiles over graph-local levels
+    std::vector<int64_t> start(num_graphs + 1, 0);
+    for (int64_t g = 0; g < num_graphs; ++g) start[g + 1] = start[g] + depth[g];
+    std::vector<int64_t> prof_w(total_d, 0), prof_e(total_d, 0);
+    std::vector<int64_t> width_sum(num_graphs, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        prof_w[start[node_graph[i]] + level[i]]++;
+        width_sum[node_graph[i]]++;
+    }
+    if (edge_budget > 0) {
+        for (int64_t j = 0; j < e; ++j) {
+            int64_t t = edge_dst[j];
+            prof_e[start[node_graph[t]] + level[t]]++;
         }
     }
-    return row_base[L];
+
+    // order: depth desc, total width desc, graph id asc (numpy lexsort)
+    std::vector<int64_t> order(num_graphs);
+    for (int64_t g = 0; g < num_graphs; ++g) order[g] = g;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        if (depth[a] != depth[b]) return depth[a] > depth[b];
+        return width_sum[a] > width_sum[b];
+    });
+
+    int64_t cap = total_d + max_d + 1;
+    std::vector<int64_t> W(cap, 0), Ev(cap, 0), R(cap, 0);
+    int64_t length = 0;
+    for (int64_t oi = 0; oi < num_graphs; ++oi) {
+        int64_t g = order[oi];
+        int64_t d = depth[g];
+        if (d == 0) continue;
+        const int64_t* w = prof_w.data() + start[g];
+        const int64_t* ev = prof_e.data() + start[g];
+        int64_t best_delta = 0, best_cost = INT64_MAX;
+        for (int64_t delta = 0; delta <= length; ++delta) {
+            int64_t cost = 0;
+            for (int64_t l = 0; l < d; ++l)
+                cost += rows_of_one(W[delta + l] + w[l], Ev[delta + l] + ev[l],
+                                    kn, edge_budget) - R[delta + l];
+            if (cost < best_cost) { best_cost = cost; best_delta = delta; }
+        }
+        out_offs[g] = best_delta;
+        for (int64_t l = 0; l < d; ++l) {
+            W[best_delta + l] += w[l];
+            Ev[best_delta + l] += ev[l];
+            R[best_delta + l] = rows_of_one(W[best_delta + l],
+                                            Ev[best_delta + l], kn,
+                                            edge_budget);
+        }
+        if (best_delta + d > length) length = best_delta + d;
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -58,13 +58,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dag_topo_levels_batch.argtypes = [i64p, i64p, i64p, i64p,
                                               ctypes.c_int64, i32p]
         lib.dag_topo_levels_batch.restype = ctypes.c_int
-        lib.dag_row_assign.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
-                                       i32p, i32p]
-        lib.dag_row_assign.restype = ctypes.c_int64
-        lib.dag_row_assign_balanced.argtypes = [
-            i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, i32p, i32p]
-        lib.dag_row_assign_balanced.restype = ctypes.c_int64
+        lib.dag_stagger_offsets.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.dag_stagger_offsets.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -100,31 +97,24 @@ def native_topo_levels_batch(src, dst, noffsets, eoffsets) -> Optional[np.ndarra
     return out
 
 
-def native_row_assign(level, chunk: int) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+def native_stagger_offsets(level, node_graph, num_graphs: int, kn: int,
+                           edge_budget: int = 0,
+                           edge_dst=None) -> Optional[np.ndarray]:
+    """Greedy stagger packing (schedule.stagger_offsets semantics,
+    bit-identical tie-breaking); None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    level = np.ascontiguousarray(level, np.int32)
-    n = len(level)
-    row = np.zeros(n, np.int32)
-    pos = np.zeros(n, np.int32)
-    rows = lib.dag_row_assign(level, n, chunk, row, pos)
-    return row, pos, int(rows)
-
-
-def native_row_assign_balanced(
-    level, indeg, outdeg, chunk: int, edge_budget: int = 0,
-) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
-    """Degree-balanced row assignment (schedule.py balance=True semantics)."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    level = np.ascontiguousarray(level, np.int32)
-    indeg = np.ascontiguousarray(indeg, np.int64)
-    outdeg = np.ascontiguousarray(outdeg, np.int64)
-    n = len(level)
-    row = np.zeros(n, np.int32)
-    pos = np.zeros(n, np.int32)
-    rows = lib.dag_row_assign_balanced(level, indeg, outdeg, n, chunk,
-                                       edge_budget, row, pos)
-    return row, pos, int(rows)
+    level = np.ascontiguousarray(level, np.int64).ravel()
+    node_graph = np.ascontiguousarray(node_graph, np.int64).ravel()
+    if edge_budget and edge_dst is not None:
+        edge_dst = np.ascontiguousarray(edge_dst, np.int64).ravel()
+    else:
+        edge_dst = np.zeros(0, np.int64)
+    offs = np.zeros(max(num_graphs, 1), np.int64)
+    r = lib.dag_stagger_offsets(level, node_graph, len(level), num_graphs,
+                                edge_dst, len(edge_dst), kn,
+                                edge_budget or 0, offs)
+    if r != 0:
+        raise ValueError("invalid stagger input (node_graph out of range)")
+    return offs

@@ -94,6 +94,7 @@ def stagger_offsets(
     kn: int,
     edge_budget: int = 0,
     edge_dst: Optional[np.ndarray] = None,
+    _native: bool = True,
 ) -> np.ndarray:
     """Per-graph level offsets that pack a batch's wavefront densely.
 
@@ -124,6 +125,15 @@ def stagger_offsets(
     node_graph = np.asarray(node_graph, dtype=np.int64).ravel()
     if num_graphs <= 1 or level.size == 0:
         return np.zeros(max(num_graphs, 1), dtype=np.int64)
+
+    # native fast path (csrc/dagcore.cpp dag_stagger_offsets): identical
+    # greedy + tie-breaking — this loop dominates host collation otherwise
+    if _native:
+        from dagnn_tpu.dag.native import native_stagger_offsets
+        offs = native_stagger_offsets(level, node_graph, num_graphs, kn,
+                                      edge_budget, edge_dst)
+        if offs is not None:
+            return offs
 
     # per-graph (width, edge-load) profiles over graph-local levels
     depth = np.zeros(num_graphs, dtype=np.int64)

@@ -49,37 +49,31 @@ def test_native_batch_levels(lib):
         o += n
 
 
-def _assert_assign_matches(row, pos, rows, s, chunk):
-    assert rows == int(s.num_levels)
-    # node (row, pos) from the schedule: invert node_ids
-    for r in range(rows):
-        for k in range(chunk):
-            v = s.node_ids[r, k]
-            if s.node_mask[r, k]:
-                assert row[v] == r and pos[v] == k
-
-
-def test_native_row_assign_matches_schedule(lib):
-    rng = np.random.default_rng(2)
-    src, dst = random_dag(rng, 60)
-    lv = ref_top_sort(src, dst, 60).astype(np.int32)
-    for chunk in (4, 16, 64):
-        row, pos, rows = native.native_row_assign(lv, chunk)
-        s = build_level_schedule(src, dst, lv, 60, nodes_per_level=chunk,
-                                 balance=False)
-        _assert_assign_matches(row, pos, rows, s, chunk)
-
-
-def test_native_row_assign_balanced_matches_schedule(lib):
-    rng = np.random.default_rng(4)
-    src, dst = random_dag(rng, 60)
-    lv = ref_top_sort(src, dst, 60).astype(np.int32)
-    indeg = np.bincount(dst, minlength=60)
-    outdeg = np.bincount(src, minlength=60)
-    for chunk in (4, 16, 64):
-        for budget in (0, 8, 32):
-            row, pos, rows = native.native_row_assign_balanced(
-                lv, indeg, outdeg, chunk, budget)
-            s = build_level_schedule(src, dst, lv, 60, nodes_per_level=chunk,
-                                     edge_budget=budget or None)
-            _assert_assign_matches(row, pos, rows, s, chunk)
+def test_native_stagger_matches_numpy(lib):
+    """The C++ greedy stagger packer reproduces the numpy implementation
+    bit-for-bit (same order, cost function, and tie-breaking)."""
+    from dagnn_tpu.dag.schedule import stagger_offsets
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        ngraphs = int(rng.integers(2, 12))
+        levels, node_graph, edge_dst = [], [], []
+        off = 0
+        for g in range(ngraphs):
+            n = int(rng.integers(2, 40))
+            src, dst = random_dag(rng, n)
+            lv = ref_top_sort(src, dst, n)
+            levels.append(lv)
+            node_graph.append(np.full(n, g))
+            edge_dst.append(dst + off)
+            off += n
+        level = np.concatenate(levels)
+        node_graph = np.concatenate(node_graph)
+        edge_dst = np.concatenate(edge_dst)
+        for kn, eb in ((4, 0), (8, 16), (16, 8)):
+            ref = stagger_offsets(level, node_graph, ngraphs, kn,
+                                  edge_budget=eb, edge_dst=edge_dst,
+                                  _native=False)
+            got = native.native_stagger_offsets(level, node_graph, ngraphs,
+                                                kn, eb, edge_dst)
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"trial {trial} kn={kn}")
