@@ -81,14 +81,18 @@ def enas_lookup_scorer(corpus_path):
 def decode_from_latent(model_bundle, z, attempts, data_type, rng):
     """Majority-vote decoding (dvae/util.py:408-466): decode each latent
     `attempts` times, keep valid graphs, return the most common encoding."""
-    from dagnn_tpu.vae.dagnn_vae import dagnn_vae_decode
+    from dagnn_tpu.vae.dagnn_vae import DAGNNVAEConfig, dagnn_vae_decode
+    from dagnn_tpu.vae.dvae import dvae_decode
     cfg, params = model_bundle
     n = len(z)
     votes: List[Counter] = [Counter() for _ in range(n)]
     # All attempts ride one device dispatch: tile z to [attempts * n] rows
     # (decode is fully device-resident, so the batch axis is free parallelism).
     z_tiled = jnp.tile(jnp.asarray(z), (attempts, 1))
-    types, adj, nv = dagnn_vae_decode(params, cfg, z_tiled, rng)
+    if isinstance(cfg, DAGNNVAEConfig):
+        types, adj, nv = dagnn_vae_decode(params, cfg, z_tiled, rng)
+    else:  # base D-VAE bundle (gated_sum decoder, no attention params)
+        types, adj, nv = dvae_decode(params["dec"], cfg, z_tiled, rng)
     for a in range(attempts):
         for i in range(n):
             r = a * n + i
@@ -104,17 +108,29 @@ def decode_from_latent(model_bundle, z, attempts, data_type, rng):
 
 
 def load_model(args):
+    """Rebuild the trained VAE bundle (reference bo.py:184-209 re-parses
+    cmd_input.txt; here hyperparameters come from flags). Supports the
+    DAGNN-coupled VAEs and the base D-VAE family."""
     if not args.checkpoint:
         return None
-    from dagnn_tpu.vae.dagnn_vae import DAGNNVAEConfig, dagnn_vae_init
     from dagnn_tpu.train import checkpoint as ckpt
     from dagnn_tpu.train.optim import make_optimizer
     nvt = 8 if args.data_type == "ENAS" else 10
-    cfg = DAGNNVAEConfig(max_n=nvt, nvt=nvt, hs=args.hs, nz=args.nz,
-                         num_layers=args.dagnn_layers, agg=args.dagnn_agg,
-                         bidirectional=args.bidirectional,
-                         bn=args.data_type == "BN")
-    params = dagnn_vae_init(jax.random.PRNGKey(0), cfg)
+    if args.model.startswith("DVAE"):
+        from dagnn_tpu.vae.dvae import DVAEConfig, dvae_base_init
+        cfg = DVAEConfig(max_n=nvt, nvt=nvt, hs=args.hs, nz=args.nz,
+                         num_layers=1, bidirectional=args.bidirectional,
+                         vid=args.model == "DVAE", bn=args.model == "DVAE_BN",
+                         dec_agg="gated_sum",
+                         pred_source="x" if args.model == "DVAE_BN" else "h")
+        params = dvae_base_init(jax.random.PRNGKey(0), cfg)
+    else:
+        from dagnn_tpu.vae.dagnn_vae import DAGNNVAEConfig, dagnn_vae_init
+        cfg = DAGNNVAEConfig(max_n=nvt, nvt=nvt, hs=args.hs, nz=args.nz,
+                             num_layers=args.dagnn_layers, agg=args.dagnn_agg,
+                             bidirectional=args.bidirectional,
+                             bn=args.data_type == "BN")
+        params = dagnn_vae_init(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer()
     _, _, params, _ = ckpt.load_checkpoint(args.checkpoint, params,
                                            opt.init(params))

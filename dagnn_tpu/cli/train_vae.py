@@ -74,6 +74,10 @@ def parse_args(argv=None):
     p.add_argument("--res_dir", default="results/vae")
     p.add_argument("--load-latest-model", action="store_true")
     p.add_argument("--continue-from", type=int, default=None)
+    p.add_argument("--load-partial", default=None, metavar="CKPT",
+                   help="partial state load from a checkpoint with a "
+                        "possibly different architecture (reference "
+                        "load_module_state, dvae/util.py:41-63)")
     p.add_argument("--no-test", action="store_true")
     p.add_argument("--small-train", action="store_true")
     p.add_argument("--max-count", type=int, default=None)
@@ -238,6 +242,11 @@ def main(argv=None):
     name = args.model
 
     start_epoch = 1
+    if args.load_partial:
+        params, n_ok, n_skip = ckpt.load_partial_state(args.load_partial,
+                                                       params)
+        print(f"partial load from {args.load_partial}: "
+              f"{n_ok} leaves restored, {n_skip} kept from init")
     if args.continue_from is not None:
         path = ckpt.checkpoint_name(args.res_dir, name, 0, args.continue_from)
         _, ep, params, opt_state = ckpt.load_checkpoint(path, params, opt_state)

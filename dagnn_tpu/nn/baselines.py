@@ -49,6 +49,11 @@ class MPNNConfig:
     num_rels: int = 2
     heads: int = 1               # gat
     timesteps: int = 5           # ggnn
+    # Note: the reference GGNN's "weight_dropout" is dead code — the
+    # F.dropout call at tg/gated_graph_conv.py:52 is out-of-place at
+    # __init__ with its result discarded (the assignment is commented
+    # out), so no dropout ever reaches the weights at runtime. We
+    # deliberately reproduce the effective behavior (none).
     encoder: EncoderSpec = EncoderSpec()
 
 

@@ -47,6 +47,55 @@ def load_checkpoint_results(path: str):
         return pickle.load(f)["results"]
 
 
+def load_partial_state(path: str, params_template):
+    """Model-surgery-tolerant load (reference load_module_state,
+    dvae/util.py:41-63): restore every leaf whose tree path exists in the
+    checkpoint with a matching shape; keep the template's value (e.g. fresh
+    init) everywhere else. Returns (params, n_loaded, n_skipped)."""
+    import jax
+    import numpy as np
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    saved = serialization.msgpack_restore(payload["params"])
+
+    flat_t = jax.tree_util.tree_flatten_with_path(params_template)[0]
+    n_loaded = n_skipped = 0
+    out = {}
+
+    def _get(tree, path):
+        cur = tree
+        for p in path:
+            key = getattr(p, "key", getattr(p, "idx", None))
+            if isinstance(cur, dict):
+                key = str(key) if not isinstance(key, str) and str(key) in cur else key
+                if key not in cur:
+                    return None
+                cur = cur[key]
+            elif isinstance(cur, (list, tuple)):
+                i = int(key)
+                if i >= len(cur):
+                    return None
+                cur = cur[i]
+            else:
+                return None
+        return cur
+
+    leaves = []
+    for path, leaf in flat_t:
+        cand = _get(saved, path)
+        if (cand is not None and hasattr(cand, "shape")
+                and tuple(np.shape(cand)) == tuple(np.shape(leaf))):
+            leaves.append(np.asarray(cand).astype(leaf.dtype)
+                          if hasattr(leaf, "dtype") else cand)
+            n_loaded += 1
+        else:
+            leaves.append(leaf)
+            n_skipped += 1
+    treedef = jax.tree_util.tree_structure(params_template)
+    return jax.tree_util.tree_unflatten(treedef, leaves), n_loaded, n_skipped
+
+
 def remove_checkpoint(path: str) -> None:
     if os.path.exists(path):
         os.remove(path)

@@ -128,3 +128,18 @@ def test_driver_smoke_fold_on_constructed_raw(tmp_path):
     with open(os.path.join(res, "dagnn_tok_train.csv")) as f:
         rows = list(csv.reader(f))
     assert len(rows) >= 2  # header + >=1 epoch row with F1 columns
+
+
+def test_basic_driver_smoke(tmp_path):
+    """Eval-only trivial-baseline driver (reference main_pyg_basic.py):
+    runs all three baselines, writes the CSV, perfect model scores F1=1."""
+    import csv
+    from dagnn_tpu.cli import main_basic
+    res = str(tmp_path / "r")
+    main_basic.main(["--synthetic", "60", "--num_vocab", "30",
+                     "--batch_size", "20", "--dir_results", res])
+    with open(os.path.join(res, "baselines_basic.csv")) as f:
+        rows = {(r["model"], r["split"]): float(r["F1"])
+                for r in csv.DictReader(f)}
+    assert rows[("perfect", "test")] == 1.0
+    assert 0.0 <= rows[("guess1", "valid")] <= 1.0
