@@ -436,17 +436,20 @@ def _wavefront_bwd_fused(static, res, g):
     def bwd_step(carry, xs):
         from dagnn_tpu.ops.pallas.row_step import fused_row_backward
         acc, dw_acc = carry
-        fxs_l, ixs_l = xs
+        fxs_l, ixs_l, g_out = xs
         lvl = ixs_l["lvl"]
         vals = h_final[:, ixs_l["eslot"], :]
-        g_out = jax.lax.dynamic_slice(
-            g, (0, lvl * kn, 0), (cfg.num_layers, kn, cfg.hidden_dim))
         tg = acc[:, ixs_l["teslot"], :]      # [Lyr, Kt, H]; pad slot is zero
+        # barrier: without it XLA fuses these gathers (whose source is the
+        # full [Lyr, L*Ke, H] carry / h buffer) INTO the pallas custom-call
+        # and stack-allocates the whole source in scoped VMEM -> compile OOM
+        vals, tg = jax.lax.optimization_barrier((vals, tg))
         dx, dvals, dea, dw = fused_row_backward(
             st, interp, fxs_l["x"], vals,
             fxs_l.get("ea") if has_ea else None,
             ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
             g_out, tg, ixs_l["tdst"], ixs_l["tmask"])
+        dvals = jax.lax.optimization_barrier(dvals)
         acc = jax.lax.dynamic_update_slice(acc, dvals, (0, lvl * ke, 0))
         dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
         dfl = {"x": dx}
@@ -457,12 +460,19 @@ def _wavefront_bwd_fused(static, res, g):
 
     from dagnn_tpu.ops.pallas.row_step import _names as _row_names
     acc0 = jnp.zeros((cfg.num_layers, L * ke + 1, cfg.hidden_dim), g.dtype)
+    # stream the cotangent as a per-row scan input ([L, Lyr, kn, H]) rather
+    # than dynamic-slicing the full [Lyr, L*kn+1, H] buffer inside the body
+    # (the slice-of-big-buffer fuses into the pallas call and blows the
+    # scoped-VMEM stack limit); the garbage slot L*kn carries no gradient
+    g_stream = jnp.moveaxis(
+        g[:, : L * kn, :].reshape(cfg.num_layers, L, kn, cfg.hidden_dim),
+        1, 0)
     # grads exist only for the canonical weight forms (the row-form score
     # vector copies are backward-only INPUTS, their grads fold into wq/wk)
     dw0 = {n: jnp.zeros_like(weights[n])
            for n in _row_names(cfg.num_layers, has_ea)}
     (_, dw_total), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, dw0), (fxs, ixs), reverse=True)
+        bwd_step, (acc0, dw0), (fxs, ixs, g_stream), reverse=True)
     d_params = unflatten_row_weight_grads(dw_total, cfg.num_layers, has_ea)
     if not has_ea:
         # structural zeros for edge-encoder params absent from the kernel

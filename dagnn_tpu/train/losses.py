@@ -14,15 +14,21 @@ import optax
 
 
 def tok_loss(logits: jnp.ndarray, y_arr: jnp.ndarray, graph_mask: jnp.ndarray):
-    """logits [G, S, V]; y_arr [G, S] int targets; graph_mask [G]."""
+    """logits [G, S, V]; y_arr [G, S] int targets; graph_mask [G].
+
+    Pad-slot CE is dropped with `where`, not multiplication: pad graphs can
+    carry non-finite logits (empty-readout -inf in bf16) and NaN * 0 = NaN
+    would poison the batch loss.
+    """
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, y_arr)  # [G, S]
-    per_graph = ce.mean(axis=-1)
+    per_graph = jnp.where(graph_mask, ce.mean(axis=-1), 0.0)
     m = graph_mask.astype(logits.dtype)
-    return (per_graph * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return per_graph.sum() / jnp.maximum(m.sum(), 1.0)
 
 
 def class_loss(logits: jnp.ndarray, y: jnp.ndarray, graph_mask: jnp.ndarray):
-    """logits [G, C]; y [G] int; graph_mask [G]."""
+    """logits [G, C]; y [G] int; graph_mask [G]. NaN-safe like tok_loss."""
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    ce = jnp.where(graph_mask, ce, 0.0)
     m = graph_mask.astype(logits.dtype)
-    return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return ce.sum() / jnp.maximum(m.sum(), 1.0)
