@@ -32,6 +32,8 @@ BASELINE_EDGES_PER_S = 1.0e6
 
 
 def main():
+    from dagnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = ge._flagship_cfg()
     graphs = synthetic_ast_batch(0, 160, mean_nodes=125)
     pad = ge._pad_for(graphs)

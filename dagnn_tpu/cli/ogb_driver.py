@@ -238,6 +238,8 @@ def evaluate(predict, params, loader, task: str, idx2vocab) -> float:
 
 def run(args, task: str):
     apply_platform(args)
+    from dagnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     name = args.name or f"{args.gnn}_{task}"
     train, valid, test, idx2vocab = load_dataset(args, task)
     print(f"dataset: {len(train)} train / {len(valid)} valid / {len(test)} test")

@@ -141,6 +141,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from dagnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     os.makedirs(args.res_dir, exist_ok=True)
     mat = scipy.io.loadmat(args.latent)
     X_train, X_test = mat["Z_train"], mat["Z_test"]

@@ -226,6 +226,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from dagnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     train_data, test_data, ga = load_data(args)
     if args.small_train:
         train_data = train_data[:100]
@@ -276,16 +278,25 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         order = rnd.permutation(len(train_data))
-        tot = rec = kl = 0.0
-        for i in range(0, len(order), args.batch_size):
+        n_steps = (len(order) + args.batch_size - 1) // args.batch_size
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, n_steps)
+        scale = jnp.asarray(sched.scale)
+        # NO per-step host sync: losses stay device-side until epoch end, so
+        # the python loop pipelines host collation against device steps (a
+        # per-step float() costs a full round-trip — with a tunneled TPU
+        # that was ~1s/step, ~30x the actual step time)
+        stats = []
+        for si, i in enumerate(range(0, len(order), args.batch_size)):
             # exact batches like the reference (dvae/train.py:228-235); the
             # short tail batch costs one extra jit specialization per run
             batch_graphs = [train_data[j] for j in order[i:i + args.batch_size]]
             prepared = model.prepare(batch_graphs)
-            rng, k = jax.random.split(rng)
             params, opt_state, l, r, kld_v = step(
-                params, opt_state, prepared, k, jnp.asarray(sched.scale))
-            tot += float(l); rec += float(r); kl += float(kld_v)
+                params, opt_state, prepared, keys[si], scale)
+            stats.append((l, r, kld_v))
+        tot, rec, kl = (float(jnp.sum(jnp.stack(x)))
+                        for x in zip(*stats))
         n = len(train_data)
         print(f"====> Epoch: {epoch} Average loss: {tot / n:.4f} "
               f"(recon {rec / n:.4f}, kld {kl / n:.4f}) [{time.time() - t0:.1f}s]")
