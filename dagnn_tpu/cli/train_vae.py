@@ -80,6 +80,8 @@ def parse_args(argv=None):
                         "load_module_state, dvae/util.py:41-63)")
     p.add_argument("--no-test", action="store_true")
     p.add_argument("--small-train", action="store_true")
+    p.add_argument("--scan-chunk", type=int, default=128,
+                   help="optimizer steps fused into one device dispatch")
     p.add_argument("--max-count", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
@@ -264,14 +266,28 @@ def main(argv=None):
         total, recon, k = model.loss(p, prepared, rng)
         return total, (recon, k)
 
-    @jax.jit
-    def step(p, s, prepared, rng, lr_scale):
+    def _one_step(p, s, prepared, rng, lr_scale):
         (total, (recon, k)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, prepared, rng)
         grads = jax.tree.map(lambda g: g * lr_scale, grads)
         updates, s = opt.update(grads, s, p)
         p = jax.tree.map(lambda a, u: a + u, p, updates)
         return p, s, total, recon, k
+
+    step = jax.jit(_one_step)
+
+    @jax.jit
+    def step_scan(p, s, stacked, keys, lr_scale):
+        # many optimizer steps in ONE dispatch: with a remote/tunneled TPU
+        # every dispatch costs ~1s of round-trip latency, so stepping the
+        # host loop per batch is ~30x slower than the compute itself
+        def body(carry, xs):
+            p, s = carry
+            prepared, k = xs
+            p, s, total, recon, kld_v = _one_step(p, s, prepared, k, lr_scale)
+            return (p, s), jnp.stack([total, recon, kld_v])
+        (p, s), stats = jax.lax.scan(body, (p, s), (stacked, keys))
+        return p, s, stats  # [K, 3]
 
     rng = jax.random.PRNGKey(args.seed + 1)
     rnd = np.random.default_rng(args.seed)
@@ -282,21 +298,38 @@ def main(argv=None):
         rng, sub = jax.random.split(rng)
         keys = jax.random.split(sub, n_steps)
         scale = jnp.asarray(sched.scale)
-        # NO per-step host sync: losses stay device-side until epoch end, so
-        # the python loop pipelines host collation against device steps (a
-        # per-step float() costs a full round-trip — with a tunneled TPU
-        # that was ~1s/step, ~30x the actual step time)
-        stats = []
-        for si, i in enumerate(range(0, len(order), args.batch_size)):
-            # exact batches like the reference (dvae/train.py:228-235); the
-            # short tail batch costs one extra jit specialization per run
+        # Exact batches like the reference (dvae/train.py:228-235), but
+        # optimizer steps ride the device in scan CHUNKS: full-size batches
+        # stack into [K, ...] pytrees consumed by step_scan (at most two
+        # distinct K shapes per run -> two compiles), the short tail batch
+        # runs the single-step path. No per-step host sync anywhere.
+        starts = list(range(0, len(order), args.batch_size))
+        full = [i for i in starts if i + args.batch_size <= len(order)]
+        tail = [i for i in starts if i + args.batch_size > len(order)]
+        K = max(1, min(args.scan_chunk, len(full)))
+        stat_chunks = []
+        si = 0
+        for c in range(0, len(full), K):
+            group = full[c:c + K]
+            prepared = [model.prepare(
+                [train_data[j] for j in order[i:i + args.batch_size]])
+                for i in group]
+            stacked = jax.tree.map(lambda *a: np.stack(a), *prepared)
+            params, opt_state, stats = step_scan(
+                params, opt_state, stacked, keys[si:si + len(group)], scale)
+            stat_chunks.append(jnp.sum(stats, axis=0))
+            si += len(group)
+            print(f"  epoch {epoch} step {si}/{n_steps} "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
+        for i in tail:
             batch_graphs = [train_data[j] for j in order[i:i + args.batch_size]]
             prepared = model.prepare(batch_graphs)
             params, opt_state, l, r, kld_v = step(
                 params, opt_state, prepared, keys[si], scale)
-            stats.append((l, r, kld_v))
-        tot, rec, kl = (float(jnp.sum(jnp.stack(x)))
-                        for x in zip(*stats))
+            si += 1
+            stat_chunks.append(jnp.stack([l, r, kld_v]))
+        tot, rec, kl = (float(x) for x in np.asarray(
+            jnp.sum(jnp.stack(stat_chunks), axis=0)))
         n = len(train_data)
         print(f"====> Epoch: {epoch} Average loss: {tot / n:.4f} "
               f"(recon {rec / n:.4f}, kld {kl / n:.4f}) [{time.time() - t0:.1f}s]")

@@ -257,6 +257,10 @@ def na_collate(graphs: Sequence[NAGraph], cfg: DAGNNVAEConfig,
         max_levels=nn_sz,
         nodes_per_level=nb * nn_sz,
         edges_per_level=max(1, nb * nn_sz * nn_sz // 2),
+        # static bound (all edges could source from one row) so every
+        # same-size batch shares one shape — required for scan-stacking
+        # batches in the training driver
+        tgrad_per_level=max(1, nb * nn_sz * nn_sz // 2),
     )
     batch = collate(dags, pad)
     types, adj, nv = na_dense_views(graphs, cfg.max_n)

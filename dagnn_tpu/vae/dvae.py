@@ -251,13 +251,21 @@ def reparameterize(rng, mu, logvar, eps_scale=0.01, training=True):
 
 
 def dvae_teacher_loss(dec, cfg: DVAEConfig, z, types, adj_true, nv,
-                      attn_params=None):
+                      attn_params=None, unroll: bool = False):
     """Teacher-forced reconstruction log-likelihood (models_pyg.py:398-456).
 
     types: [B, max_n] int vertex types (garbage beyond nv); adj_true:
     [B, max_n, max_n]; nv: [B] true vertex counts. Returns (recon_loss,
     aux dict). Caller adds beta * KLD.
+
+    Default path is a lax.scan over vertex steps (inner scan over edge
+    steps, masked) — the unrolled O(max_n^2) trace takes >10 minutes to
+    compile through the TPU compiler at hs=501; the scan compiles in
+    seconds and matches the unrolled oracle (tests/test_vae.py).
     """
+    if not unroll and cfg.max_n > 1:
+        return _dvae_teacher_loss_scan(dec, cfg, z, types, adj_true, nv,
+                                       attn_params)
     B = z.shape[0]
     types_oh_true = jax.nn.one_hot(types, cfg.nvt, dtype=z.dtype)
     H0 = jnp.tanh(linear(dec["fc3"], z))
@@ -304,6 +312,66 @@ def dvae_teacher_loss(dec, cfg: DVAEConfig, z, types, adj_true, nv,
         )
         res = res - bce
 
+    return -res, {}
+
+
+def _dvae_teacher_loss_scan(dec, cfg: DVAEConfig, z, types, adj_true, nv,
+                            attn_params=None):
+    """Scan form of the teacher loss: identical step sequence to the
+    unrolled oracle (add-vertex NLL -> propagate -> per-edge score, add
+    true edge, re-propagate, descending vi), with the inner edge loop
+    padded to max_n-1 masked steps (the extra re-propagations leave adj
+    untouched and are idempotent)."""
+    B = z.shape[0]
+    types_oh_true = jax.nn.one_hot(types, cfg.nvt, dtype=z.dtype)
+    H0 = jnp.tanh(linear(dec["fc3"], z))
+
+    vrange = jnp.arange(cfg.max_n)[None, :]
+    in_graph = vrange < nv[:, None]
+    teacher_types = jnp.where(in_graph, types, cfg.start_type)
+    types_oh = jax.nn.one_hot(teacher_types, cfg.nvt, dtype=z.dtype)
+    adj_true_f = adj_true.astype(z.dtype)
+
+    state = jnp.zeros((cfg.num_layers, B, cfg.max_n, cfg.hs), z.dtype)
+    adj = jnp.zeros_like(adj_true_f)
+    state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, 0, H0=H0,
+                             attn_params=attn_params)
+    barange = jnp.arange(B)
+
+    def edge_step(carry, k):
+        state, adj, res, v = carry
+        vi = v - 1 - k
+        valid = vi >= 0
+        vic = jnp.maximum(vi, 0)
+        active_v = (v < nv).astype(z.dtype)
+        Hvi = jnp.where((vic < nv)[:, None], state[-1][:, vic], 0.0)
+        H = jnp.where((v < nv)[:, None], state[-1][:, v], 0.0)
+        logits = _edge_score_logits(dec, cfg, Hvi, H, H0)  # [B]
+        has_edge = adj_true_f[:, vic, v] * active_v
+        adj = adj.at[:, vic, v].set(
+            jnp.where(valid, has_edge, adj[:, vic, v]))
+        state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, v,
+                                 attn_params=attn_params)
+        bce = jnp.sum(jax.nn.softplus(logits) - has_edge * logits)
+        res = res - jnp.where(valid, bce, 0.0)
+        return (state, adj, res, v), None
+
+    def vertex_step(carry, v):
+        state, adj, res = carry
+        vcount = jnp.minimum(v, nv)
+        Hg = _graph_state(cfg, state, vcount)
+        type_logits = _mlp2(dec["add_vertex"], Hg)
+        logp = jax.nn.log_softmax(type_logits, axis=-1)
+        res = res + logp[barange, teacher_types[:, v]].sum()
+        state = decoder_update_v(dec, cfg, state, types_oh, adj, nv, v,
+                                 attn_params=attn_params)
+        (state, adj, res, _), _ = jax.lax.scan(
+            edge_step, (state, adj, res, v), jnp.arange(cfg.max_n - 1))
+        return (state, adj, res), None
+
+    res0 = jnp.zeros((), z.dtype)
+    (_, _, res), _ = jax.lax.scan(
+        vertex_step, (state, adj, res0), jnp.arange(1, cfg.max_n))
     return -res, {}
 
 

@@ -177,6 +177,49 @@ def test_decode_device_matches_host():
         assert (n_h == n_d).all(), (dec_agg, stoch)
 
 
+def test_teacher_loss_scan_matches_unrolled():
+    """The lax.scan teacher loss reproduces the unrolled trace (values and
+    gradients) for the gated-sum and attention decoders, incl. graphs
+    shorter than max_n."""
+    from dagnn_tpu.vae.dvae import dvae_teacher_loss
+    from dagnn_tpu.ops.linear import linear_init
+    for dec_agg in ("gated_sum", "attn"):
+        cfg = DVAEConfig(max_n=6, nvt=8, hs=12, nz=5, vid=True,
+                         dec_agg=dec_agg)
+        dec = dvae_decoder_init(jax.random.PRNGKey(0), cfg)
+        attn = None
+        if dec_agg == "attn":
+            attn = {"attn_lin": linear_init(jax.random.PRNGKey(9),
+                                            cfg.nvt + cfg.vs, 1)}
+        rnd = np.random.default_rng(4)
+        B = 5
+        nv = np.array([6, 4, 2, 6, 3], np.int32)
+        types = rnd.integers(0, cfg.nvt, (B, cfg.max_n)).astype(np.int32)
+        adj = np.zeros((B, cfg.max_n, cfg.max_n), np.float32)
+        for b in range(B):
+            for j in range(1, nv[b]):
+                i = int(rnd.integers(0, j))
+                adj[b, i, j] = 1.0
+        z = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.nz))
+
+        def f(dc, z_, unroll):
+            return dvae_teacher_loss(dc, cfg, z_, jnp.asarray(types),
+                                     jnp.asarray(adj), jnp.asarray(nv),
+                                     attn_params=attn, unroll=unroll)[0]
+
+        lu = float(f(dec, z, True))
+        ls = float(f(dec, z, False))
+        assert abs(lu - ls) < 1e-3 * max(1.0, abs(lu)), (dec_agg, lu, ls)
+        gu = jax.grad(lambda dc: f(dc, z, True))(dec)
+        gs = jax.grad(lambda dc: f(dc, z, False))(dec)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(gu)[0],
+                jax.tree_util.tree_flatten_with_path(gs)[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"{dec_agg} {jax.tree_util.keystr(pa)}")
+
+
 def test_bn_synthetic_loss():
     import ast
     rows = [ast.literal_eval(r)[0] for r in synthetic_bn_rows(3, seed=1)]
