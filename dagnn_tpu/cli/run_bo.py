@@ -184,9 +184,12 @@ def main(argv=None):
         Xa, ya = gp.X.copy(), gp.y.reshape(-1, 1).copy()
         best_score, best_arc = 1e15, None
         rng = jax.random.PRNGKey(seed)
+        # one padded shape for every refit of the growing set -> one compile
+        pad_rows = len(Xa) + args.BO_rounds * args.bo_batch
         for it in range(args.BO_rounds):
             gp_it = fit_sparse_gp(Xa, ya, M=args.M, iters=args.gp_iters,
-                                  lr=args.gp_lr, seed=seed * 100 + it)
+                                  lr=args.gp_lr, seed=seed * 100 + it,
+                                  pad_to=pad_rows)
             cand = batched_greedy_ei(
                 gp_it, args.bo_batch,
                 Xa.min(0), Xa.max(0), Xa.mean(0), Xa.std(0),

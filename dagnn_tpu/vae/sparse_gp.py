@@ -48,15 +48,31 @@ def _kernel(p, a, b):
     return sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
 
 
-def _titsias_bound(p, X, y):
-    """Collapsed variational lower bound (Titsias 2009)."""
+def _titsias_bound(p, X, y, mask=None):
+    """Collapsed variational lower bound (Titsias 2009).
+
+    mask [n] (0/1) drops padding rows exactly: their Kmn columns and y
+    entries are zeroed and n becomes the real count — lets callers pad the
+    train set to a FIXED shape (one compile) while the data grows, as the
+    BO loop's Kriging-believer augmentation does every round.
+    """
     Z = p["Z"]
     M = Z.shape[0]
-    n = X.shape[0]
     sn2 = jnp.exp(p["log_sn2"]) + 1e-6
-    jitter = (1e-5 * jnp.exp(p["log_sf2"]) + 1e-8) * jnp.eye(M)
+    # dtype-aware jitter: f32 (accelerator path) needs a larger floor to
+    # keep the 500x500 Cholesky positive-definite
+    jit_rel = 1e-5 if X.dtype == jnp.float64 else 1e-4
+    jit_abs = 1e-8 if X.dtype == jnp.float64 else 1e-6
+    jitter = (jit_rel * jnp.exp(p["log_sf2"]) + jit_abs) * jnp.eye(M, dtype=X.dtype)
     Kmm = _kernel(p, Z, Z) + jitter
     Kmn = _kernel(p, Z, X)
+    if mask is None:
+        n = X.shape[0]
+    else:
+        m = mask.astype(X.dtype)
+        n = jnp.sum(m)
+        Kmn = Kmn * m[None, :]
+        y = y * m
     Lm = jnp.linalg.cholesky(Kmm)
     A = jax.scipy.linalg.solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(sn2)
     B = jnp.eye(M) + A @ A.T
@@ -79,38 +95,73 @@ def fit_sparse_gp(
     iters: int = 200,
     lr: float = 5e-3,
     seed: int = 0,
+    pad_to: Optional[int] = None,
 ) -> SparseGP:
     """Fit by maximizing the collapsed bound with Adam (the reference trains
-    its SGP via ADAM too, bo.py:256-260)."""
+    its SGP via ADAM too, bo.py:256-260).
+
+    pad_to: pad the train set to this row count with masked zeros so every
+    fit of a growing dataset (BO rounds) reuses ONE compiled program.
+    """
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64).reshape(-1)
     n, d = X.shape
+    mask = None
+    if pad_to is not None and pad_to > n:
+        mask = np.zeros(pad_to, np.float32)
+        mask[:n] = 1.0
+        X = np.concatenate([X, np.zeros((pad_to - n, d))], 0)
+        y = np.concatenate([y, np.zeros(pad_to - n)], 0)
     rng = np.random.default_rng(seed)
     M = min(M, n)
-    Z0 = X[rng.choice(n, M, replace=False)]
+    Xr, yr = X[:n], y[:n]  # real rows (X may carry masked padding)
+    Z0 = Xr[rng.choice(n, M, replace=False)]
     # break exact duplicates (undertrained encoders emit near-identical
     # latents; duplicated inducing points make Kmm singular beyond jitter)
-    Z0 = Z0 + 1e-4 * (X.std(0) + 1e-6) * rng.standard_normal(Z0.shape)
+    Z0 = Z0 + 1e-4 * (Xr.std(0) + 1e-6) * rng.standard_normal(Z0.shape)
     p = {
         "Z": jnp.asarray(Z0),
-        "log_ls": jnp.log(jnp.asarray(X.std(0) + 1e-3) * np.sqrt(d)),
-        "log_sf2": jnp.asarray(np.log(y.var() + 1e-3)),
-        "log_sn2": jnp.asarray(np.log(y.var() * 0.1 + 1e-3)),
+        "log_ls": jnp.log(jnp.asarray(Xr.std(0) + 1e-3) * np.sqrt(d)),
+        "log_sf2": jnp.asarray(np.log(yr.var() + 1e-3)),
+        "log_sn2": jnp.asarray(np.log(yr.var() * 0.1 + 1e-3)),
     }
-    with _cpu():
-        Xj, yj = jnp.asarray(X), jnp.asarray(y)
-        opt = optax.adam(lr)
-        state = opt.init(p)
+    mj = None if mask is None else jnp.asarray(mask)
 
-        @jax.jit
-        def step(p, state):
-            loss, g = jax.value_and_grad(lambda q: -_titsias_bound(q, Xj, yj))(p)
-            updates, state = opt.update(g, state)
-            return optax.apply_updates(p, updates), state, loss
+    def _fit(p_in, Xj, yj, dev_ctx):
+        with dev_ctx:
+            opt = optax.adam(lr)
 
-        for _ in range(iters):
-            p, state, loss = step(p, state)
-    return SparseGP(params=jax.tree.map(np.asarray, p), X=X, y=y)
+            @jax.jit
+            def run(p, X_, y_, m_):
+                def body(carry, _):
+                    p, s = carry
+                    loss, g = jax.value_and_grad(
+                        lambda q: -_titsias_bound(q, X_, y_, m_))(p)
+                    updates, s = opt.update(g, s)
+                    return (optax.apply_updates(p, updates), s), loss
+                (p, _), losses = jax.lax.scan(
+                    body, (p, opt.init(p)), None, length=iters)
+                return p, losses[-1]
+            return run(p_in, Xj, yj, mj)
+
+    # accelerator f32 path — the whole Adam loop is ONE dispatch (the
+    # dominant cost on 2 host cores / a tunneled device is otherwise the
+    # per-iteration f64 kernel matmuls / dispatch latency); falls back to
+    # the CPU f64 path if f32 goes non-finite
+    if jax.default_backend() != "cpu":
+        p32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), p)
+        import contextlib
+        fitted, last = _fit(p32, jnp.asarray(X, jnp.float32),
+                            jnp.asarray(y, jnp.float32),
+                            contextlib.nullcontext())
+        if bool(np.isfinite(np.asarray(last))) and all(
+                np.isfinite(np.asarray(v)).all()
+                for v in jax.tree.leaves(fitted)):
+            return SparseGP(params=jax.tree.map(
+                lambda a: np.asarray(a, np.float64), fitted), X=Xr, y=yr)
+
+    fitted, _ = _fit(p, jnp.asarray(X), jnp.asarray(y), _cpu())
+    return SparseGP(params=jax.tree.map(np.asarray, fitted), X=Xr, y=yr)
 
 
 def _posterior_cache(gp: SparseGP):

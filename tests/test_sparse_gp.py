@@ -56,3 +56,19 @@ def test_eval_bn_interface():
     adj[0, 1] = 1
     s = eva.eval(" ".join(str(v) for v in adj.reshape(-1)))
     assert np.isfinite(s)
+
+
+def test_pad_to_mask_matches_unpadded():
+    """Masked padding must not change the fit: same data, same seed, with
+    and without pad rows -> near-identical predictions."""
+    import numpy as np
+    from dagnn_tpu.vae.sparse_gp import fit_sparse_gp, predict
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((300, 6))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(300)
+    Xs = rng.standard_normal((40, 6))
+    g1 = fit_sparse_gp(X, y, M=50, iters=40, lr=1e-2, seed=0)
+    g2 = fit_sparse_gp(X, y, M=50, iters=40, lr=1e-2, seed=0, pad_to=420)
+    p1, _ = predict(g1, Xs)
+    p2, _ = predict(g2, Xs)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
