@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--bo-batch", type=int, default=50)
     p.add_argument("--decode-attempts", type=int, default=100)
     p.add_argument("--sample-dist", default="normal")
+    p.add_argument("--refine-iters", type=int, default=50,
+                   help="EI gradient-refinement steps; 0 keeps candidates "
+                        "on the sampled grid (on-manifold latents decode "
+                        "to valid graphs far more often)")
     p.add_argument("--enas-corpus", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "data",
         "final_structures6.txt.gz"))
@@ -193,7 +197,8 @@ def main(argv=None):
             cand = batched_greedy_ei(
                 gp_it, args.bo_batch,
                 Xa.min(0), Xa.max(0), Xa.mean(0), Xa.std(0),
-                sample=args.sample_dist, seed=seed * 100 + it)
+                sample=args.sample_dist, seed=seed * 100 + it,
+                refine_iters=args.refine_iters)
             rng, k = jax.random.split(rng)
             arcs = decode_from_latent(model_bundle, cand,
                                       args.decode_attempts, args.data_type, k)
