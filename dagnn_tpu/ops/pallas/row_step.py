@@ -270,15 +270,20 @@ def _row_fwd_kernel(static, names, refs):
 
 
 def _row_bwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers = static
+    has_ea, hdim, nlayers, merge_tg = static
     in_names, out_names = names
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
     nw = len(in_names)
     wref = _DictRefs(in_names, rest[:nw])
-    g_ref = rest[nw]
-    dx_ref, dvals_ref, dea_ref = rest[nw + 1:nw + 4]
-    dwrefs = _DictRefs(out_names, rest[nw + 4:])
+    if merge_tg:
+        g_ref, tg_ref, tdst_ref, tmask_ref = rest[nw:nw + 4]
+        dx_ref, dvals_ref, dea_ref = rest[nw + 4:nw + 7]
+        dwrefs = _DictRefs(out_names, rest[nw + 7:])
+    else:
+        g_ref = rest[nw]
+        dx_ref, dvals_ref, dea_ref = rest[nw + 1:nw + 4]
+        dwrefs = _DictRefs(out_names, rest[nw + 4:])
 
     ea = ea_ref[:] if has_ea else None
     emask = emask_ref[:]
@@ -286,6 +291,19 @@ def _row_bwd_kernel(static, names, refs):
     dt = vals_ref.dtype
     Pm, P = _build_P(edst_ref[:], emask, kn, dt)
     nmask = nmask_ref[:]
+
+    if merge_tg:
+        # incoming edge-grad segment-sum fused in (saves one pallas
+        # dispatch per row): g_total = g + OH^T tg, OH one-hot of the
+        # transpose edges' local source slots
+        kt = tdst_ref.shape[0]
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
+        OH = ((tcol == tdst_ref[:]) & (tmask_ref[:] > 0)).astype(dt)
+        g_rows_tot = [
+            g_ref[l, :, :].astype(_F32)
+            + _dg(OH, tg_ref[l, :, :], 0, 0)
+            for l in range(nlayers)
+        ]
 
     # forward recompute (residuals per layer stay in VMEM)
     cur = xin_ref[:]
@@ -308,7 +326,10 @@ def _row_bwd_kernel(static, names, refs):
     dea_acc = jnp.zeros(dea_ref.shape, _F32) if has_ea else None
     g_next = None  # d(out_l) arriving from layer l+1 (via its cur and q)
     for l in range(nlayers - 1, -1, -1):
-        g_l = g_ref[l, :, :].astype(_F32)                      # [Kn, H] f32
+        if merge_tg:
+            g_l = g_rows_tot[l]                                # [Kn, H] f32
+        else:
+            g_l = g_ref[l, :, :].astype(_F32)                  # [Kn, H] f32
         if g_next is not None:
             g_l = g_l + g_next
         g_l = g_l * nmask
@@ -389,8 +410,11 @@ def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
 
 
 def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
-                       weights, g, tg, tdst, tmask):
-    """Whole-row fused backward (two pallas calls: tg-accumulate + main).
+                       weights, g, tg, tdst, tmask, merge_tg=True):
+    """Whole-row fused backward — ONE pallas call by default (the
+    transpose-edge-grad segment sum rides inside, merge_tg=True; set
+    DAGNN_TPU_SPLIT_TG=1 or merge_tg=False for the two-call form if a
+    shape ever exceeds the kernel VMEM budget).
 
     g     [L, Kn, H] cotangent slice of this row's outputs
     tg    [L, Kt, H] edge grads flowing into this row (caller-gathered
@@ -398,13 +422,22 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     tdst  [Kt] local source slot of each transpose edge (pad = Kn)
     Returns (dx [Kn, emb], dvals [L, Ke, H], dea or None, dw flat dict).
     """
+    import os
+    if os.environ.get("DAGNN_TPU_SPLIT_TG"):
+        merge_tg = False
     has_ea, hdim, nlayers = static
     in_names = _names(nlayers, has_ea, rows=True)   # incl. row-form copies
     out_names = _names(nlayers, has_ea)             # grad'able weights only
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     ea2 = args[2]
     kn = xin.shape[0]
-    g_total = _tg_accumulate(interpret, g, tg, tdst, tmask, kn)
+    if merge_tg:
+        kt = tdst.shape[0]
+        g_args = (g, tg,
+                  tdst.astype(jnp.int32).reshape(kt, 1),
+                  tmask.astype(_F32).reshape(kt, 1))
+    else:
+        g_args = (_tg_accumulate(interpret, g, tg, tdst, tmask, kn),)
 
     out_shapes = tuple(
         [jax.ShapeDtypeStruct(xin.shape, xin.dtype),
@@ -414,18 +447,19 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
            for n in out_names])
 
     def kernel(*refs):
-        _row_bwd_kernel((has_ea, hdim, nlayers), (in_names, out_names), refs)
+        _row_bwd_kernel((has_ea, hdim, nlayers, merge_tg),
+                        (in_names, out_names), refs)
 
     fn = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (6 + len(in_names) + 1),
+        * (6 + len(in_names) + len(g_args)),
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)]
                         * (3 + len(out_names))),
         **_call_kw(interpret),
     )
-    outs = fn(*args, *[weights[n] for n in in_names], g_total)
+    outs = fn(*args, *[weights[n] for n in in_names], *g_args)
     dx, dvals, dea = outs[0], outs[1], outs[2]
     dw = dict(zip(out_names, outs[3:]))
     return dx, dvals, (dea if has_ea else None), dw
