@@ -102,6 +102,15 @@ class DAGBatch(NamedTuple):
     edge_src_flat: Optional[np.ndarray] = None   # [E+1] int32
     edge_dst_flat: Optional[np.ndarray] = None   # [E+1] int32
     edge_mask_flat: Optional[np.ndarray] = None  # [E+1] bool
+    # per-graph OUTPUT-node slot lists [G, Om] (flat slots into the
+    # direction's level-sorted buffer; pad entries = 0, masked False):
+    # lets readouts gather the handful of output rows per graph instead of
+    # segment-pooling over every slot (~40x less work on TPU). fwd lists
+    # the out_mask_fwd nodes' fwd-schedule slots; rev likewise.
+    out_slots_fwd: Optional[np.ndarray] = None       # [G, Om] int32
+    out_slots_mask_fwd: Optional[np.ndarray] = None  # [G, Om] bool
+    out_slots_rev: Optional[np.ndarray] = None       # [G, Om] int32
+    out_slots_mask_rev: Optional[np.ndarray] = None  # [G, Om] bool
 
     @property
     def num_node_slots(self) -> int:
@@ -135,6 +144,10 @@ class PadConfig:
     # finite chunk width (nodes_per_level); 0 = all graphs aligned at
     # level 0 (reference-equivalent layout).
     stagger: int = 0
+    # max output (final-level) nodes per graph across both directions —
+    # width of the DAGBatch.out_slots_* arrays. 0 = derive exactly per
+    # batch (bucketed loaders should set it for shape stability).
+    out_per_graph: int = 0
 
     @classmethod
     def for_graphs(
@@ -186,6 +199,12 @@ class PadConfig:
             kn = max(kn, s.nodes_per_level)
             ke = max(ke, s.edges_per_level)
             kt = max(kt, s.tgrad_per_level)
+        om = 0
+        for lv in (lvl_f, lvl_r):
+            if n:
+                cnt = np.bincount(node_graph[lv == 0],
+                                  minlength=len(graphs))
+                om = max(om, int(cnt.max()))
         return cls(
             max_nodes=_round_up(max(n, 1), node_mult),
             max_edges=_round_up(max(e, 1), edge_mult),
@@ -196,6 +215,7 @@ class PadConfig:
             tgrad_per_level=_round_up(max(kt, 1), width_mult),
             edge_budget=edge_budget,
             stagger=stagger,
+            out_per_graph=max(om, 1),
         )
 
 
@@ -282,6 +302,33 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
     out_mask_rev = np.zeros(N + 1, dtype=bool)
     out_mask_rev[:n] = lvl_f == 0     # reverse readout uses fwd-level 0
 
+    # per-graph output-slot lists for the gather readout (see DAGBatch)
+    oslots = {k: None for k in ("fwd", "rev")}
+    omasks = {k: None for k in ("fwd", "rev")}
+    if build_schedules and n:
+        gid_n = graph_id[:n].astype(np.int64)
+        om_needed = 0
+        for lv in (lvl_r, lvl_f):
+            cnt = np.bincount(gid_n[lv == 0], minlength=G)
+            om_needed = max(om_needed, int(cnt.max()) if len(cnt) else 0)
+        Om = pad.out_per_graph or om_needed
+        if om_needed > Om:
+            raise ValueError(
+                f"{om_needed} output nodes/graph > out_per_graph={Om}")
+        for key, sched_d, lv in (("fwd", fwd, lvl_r), ("rev", rev, lvl_f)):
+            nodes = np.flatnonzero(lv == 0)
+            gids = gid_n[nodes]
+            order = np.argsort(gids, kind="stable")
+            nodes, gids = nodes[order], gids[order]
+            starts = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(np.bincount(gids, minlength=G), out=starts[1:])
+            rank = np.arange(len(nodes)) - starts[gids]
+            sl = np.zeros((G, Om), dtype=np.int32)
+            mk = np.zeros((G, Om), dtype=bool)
+            sl[gids, rank] = sched_d.node_slot[nodes]
+            mk[gids, rank] = True
+            oslots[key], omasks[key] = sl, mk
+
     src_flat = np.full(E + 1, N, dtype=np.int32)
     dst_flat = np.full(E + 1, N, dtype=np.int32)
     emask_flat = np.zeros(E + 1, dtype=bool)
@@ -326,6 +373,10 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         edge_src_flat=src_flat,
         edge_dst_flat=dst_flat,
         edge_mask_flat=emask_flat,
+        out_slots_fwd=oslots["fwd"],
+        out_slots_mask_fwd=omasks["fwd"],
+        out_slots_rev=oslots["rev"],
+        out_slots_mask_rev=omasks["rev"],
     )
 
 

@@ -81,13 +81,10 @@ class DAGNNConfig:
     # wavefront compute dtype: "float32" (parity) or "bfloat16" (MXU-native;
     # params stay f32, states/matmuls run bf16, softmax internals f32)
     compute_dtype: str = "float32"
-    # bidirectional execution: run the two (independent) direction passes as
-    # ONE vmapped scan instead of two sequential scans. Semantically a pure
-    # layout change (results identical), but measured SLOWER on TPU v5e for
-    # the TOK shape (73k vs 359k edges/s): XLA assigns the batched carry a
-    # transposed layout ({2,3,0,1}) and copies it every step. Kept as an
-    # option for narrow-row workloads; default off.
-    stack_dirs: bool = False
+    # (a stack_dirs option that vmapped the two direction passes into one
+    # scan existed through round 2; it measured 5x SLOWER on TPU v5e than
+    # sequential passes — XLA gives the batched carry a transposed layout
+    # and copies it every step — and was removed.)
 
     def __post_init__(self):
         if self.agg_x and self.hidden_dim < self.emb_dim:
@@ -285,12 +282,16 @@ def _gather_vals(cfg: DAGNNConfig, h, eslot):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _wavefront(static, params_dir, fxs, ixs):
-    """Scan the wavefront over levels; returns h_flat [num_layers, L*Kn+1, H].
+    """Scan the wavefront over levels.
 
-    The level-sorted buffer is WRITE-ONCE (each slot written exactly at its
-    level; gathers read strictly earlier levels), so the custom VJP stores
-    only the final buffer and replays levels in reverse — O(1) memory in
-    depth instead of a per-step carry snapshot (which OOMs at depth ~100).
+    Returns the level-sorted state buffer: layer-PACKED [L*Kn+1, nl*H]
+    (layer l in columns l*H:(l+1)*H) on the fused Pallas path, un-packed
+    [num_layers, L*Kn+1, H] on the generic XLA path.
+
+    The buffer is WRITE-ONCE (each slot written exactly at its level;
+    gathers read strictly earlier levels), so the custom VJP stores only
+    the final buffer and replays levels in reverse — O(1) memory in depth
+    instead of a per-step carry snapshot (which OOMs at depth ~100).
     """
     h, _ = jax.lax.scan(_fwd_step(static, params_dir), _init_h(static, fxs),
                         (fxs, ixs))
@@ -299,6 +300,10 @@ def _wavefront(static, params_dir, fxs, ixs):
 
 def _init_h(static, fxs):
     cfg, L, kn = static
+    if _fused_applicable(cfg):
+        # layer-packed: halves the row count of every cross-row gather
+        return jnp.zeros((L * kn + 1, cfg.num_layers * cfg.hidden_dim),
+                         fxs["x"].dtype)
     return jnp.zeros((cfg.num_layers, L * kn + 1, cfg.hidden_dim),
                      fxs["x"].dtype)
 
@@ -326,7 +331,11 @@ def _fused_weights(cfg: DAGNNConfig, params_dir, has_ea):
                                qdims, has_ea)
 
 
-def _fwd_step(static, params_dir):
+def _fwd_step(static, params_dir, with_vals: bool = False):
+    """One wavefront scan step. with_vals=True additionally emits the
+    per-row gathered predecessor states as scan ys, so the custom backward
+    consumes them as a stream instead of re-gathering from the final
+    buffer (the gather is ~half the backward scan's non-kernel cost)."""
     cfg, L, kn = static
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
     fused = _fused_applicable(cfg)
@@ -334,24 +343,35 @@ def _fwd_step(static, params_dir):
     def step(h, xs):
         fxs, ixs = xs
         offset = ixs["lvl"] * kn
-        vals = _gather_vals(cfg, h, ixs["eslot"])
         if fused:
             from dagnn_tpu.ops.pallas.row_step import fused_row_forward
+            vals = h[ixs["eslot"]]  # [Ke, nl*H] layer-packed
             st = _fused_static(cfg, fxs)
             outs = fused_row_forward(
                 st, jax.default_backend() != "tpu",
                 fxs["x"], vals, fxs.get("ea") if st[0] else None,
                 ixs["edst"], ixs["emask"], ixs["nmask"],
                 _fused_weights(cfg, params_dir, st[0]))
+            h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
         else:
+            vals = _gather_vals(cfg, h, ixs["eslot"])
             outs = _step_outs(cfg, params_dir, specs, vals, fxs, ixs)
-        h = jax.lax.dynamic_update_slice(h, outs, (0, offset, 0))
-        return h, None
+            h = jax.lax.dynamic_update_slice(h, outs, (0, offset, 0))
+        return h, (vals if with_vals else None)
 
     return step
 
 
 def _wavefront_fwd(static, params_dir, fxs, ixs):
+    cfg = static[0]
+    if _fused_applicable(cfg) and "teslot" in ixs:
+        # stream the per-row gathered predecessor states to the backward
+        # (costs one extra HBM write of ~[L, Ke, nl*H]; saves the backward
+        # scan's per-row re-gather, which is 2x the write cost)
+        h, vals_s = jax.lax.scan(
+            _fwd_step(static, params_dir, with_vals=True),
+            _init_h(static, fxs), (fxs, ixs))
+        return h, (params_dir, fxs, ixs, vals_s)
     h = _wavefront(static, params_dir, fxs, ixs)
     return h, (params_dir, fxs, ixs, h)
 
@@ -360,7 +380,10 @@ def _wavefront_bwd(static, res, g):
     cfg, L, kn = static
     params_dir, fxs, ixs, h_final = res
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
-    if _fused_applicable(cfg) and "teslot" in ixs:
+    if _fused_applicable(cfg):
+        if "teslot" not in ixs:
+            raise NotImplementedError(
+                "fused wavefront backward requires a transpose schedule")
         return _wavefront_bwd_fused(static, res, g)
     # Transpose-schedule backward (preferred): instead of scatter-adding each
     # row's predecessor-state gradients dv into the full [L*Kn+1, H] buffer
@@ -423,34 +446,38 @@ def _wavefront_bwd_fused(static, res, g):
     Same transpose-schedule recurrence as the generic path, but the
     per-row work (incoming-edge-grad segment sum + both layers' VJPs) is
     one pallas_call; weight grads accumulate in the kernel's flat layout
-    and map back to the params tree once after the scan."""
+    and map back to the params tree once after the scan. All per-slot
+    state is layer-packed [*, nl*H] (see row_step.py) and the forward's
+    per-row gathered predecessor states arrive as a residual STREAM
+    (vals_s), so the only per-row random access left is the transpose-
+    schedule gather from the contiguous edge-grad buffer."""
     from dagnn_tpu.ops.pallas.row_step import unflatten_row_weight_grads
     cfg, L, kn = static
-    params_dir, fxs, ixs, h_final = res
+    params_dir, fxs, ixs, vals_s = res
     st = _fused_static(cfg, fxs)
     has_ea = st[0]
     weights = _fused_weights(cfg, params_dir, has_ea)
     interp = jax.default_backend() != "tpu"
     ke = ixs["eslot"].shape[1]
+    lh = cfg.num_layers * cfg.hidden_dim
 
     def bwd_step(carry, xs):
         from dagnn_tpu.ops.pallas.row_step import fused_row_backward
         acc, dw_acc = carry
-        fxs_l, ixs_l, g_out = xs
+        fxs_l, ixs_l, g_out, vals = xs
         lvl = ixs_l["lvl"]
-        vals = h_final[:, ixs_l["eslot"], :]
-        tg = acc[:, ixs_l["teslot"], :]      # [Lyr, Kt, H]; pad slot is zero
-        # barrier: without it XLA fuses these gathers (whose source is the
-        # full [Lyr, L*Ke, H] carry / h buffer) INTO the pallas custom-call
-        # and stack-allocates the whole source in scoped VMEM -> compile OOM
-        vals, tg = jax.lax.optimization_barrier((vals, tg))
+        tg = acc[ixs_l["teslot"]]            # [Kt, nl*H]; pad slot is zero
+        # barrier: without it XLA fuses this gather (whose source is the
+        # full [L*Ke+1, nl*H] carry) INTO the pallas custom-call and
+        # stack-allocates the whole source in scoped VMEM -> compile OOM
+        tg = jax.lax.optimization_barrier(tg)
         dx, dvals, dea, dw = fused_row_backward(
             st, interp, fxs_l["x"], vals,
             fxs_l.get("ea") if has_ea else None,
             ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
             g_out, tg, ixs_l["tdst"], ixs_l["tmask"])
         dvals = jax.lax.optimization_barrier(dvals)
-        acc = jax.lax.dynamic_update_slice(acc, dvals, (0, lvl * ke, 0))
+        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * ke, 0))
         dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
         dfl = {"x": dx}
         if "ea" in fxs_l:
@@ -459,20 +486,18 @@ def _wavefront_bwd_fused(static, res, g):
         return (acc, dw_acc), dfl
 
     from dagnn_tpu.ops.pallas.row_step import _names as _row_names
-    acc0 = jnp.zeros((cfg.num_layers, L * ke + 1, cfg.hidden_dim), g.dtype)
-    # stream the cotangent as a per-row scan input ([L, Lyr, kn, H]) rather
-    # than dynamic-slicing the full [Lyr, L*kn+1, H] buffer inside the body
+    acc0 = jnp.zeros((L * ke + 1, lh), g.dtype)
+    # stream the cotangent as a per-row scan input ([L, kn, nl*H]) rather
+    # than dynamic-slicing the full [L*kn+1, nl*H] buffer inside the body
     # (the slice-of-big-buffer fuses into the pallas call and blows the
     # scoped-VMEM stack limit); the garbage slot L*kn carries no gradient
-    g_stream = jnp.moveaxis(
-        g[:, : L * kn, :].reshape(cfg.num_layers, L, kn, cfg.hidden_dim),
-        1, 0)
+    g_stream = g[: L * kn].reshape(L, kn, lh)
     # grads exist only for the canonical weight forms (the row-form score
     # vector copies are backward-only INPUTS, their grads fold into wq/wk)
     dw0 = {n: jnp.zeros_like(weights[n])
            for n in _row_names(cfg.num_layers, has_ea)}
     (_, dw_total), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, dw0), (fxs, ixs, g_stream), reverse=True)
+        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s), reverse=True)
     d_params = unflatten_row_weight_grads(dw_total, cfg.num_layers, has_ea)
     if not has_ea:
         # structural zeros for edge-encoder params absent from the kernel
@@ -541,54 +566,34 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
     """Run the wavefront pass for one direction.
 
     Returns h [num_layers, N+1, H] in node space, or — with
-    slot_space=True — (h_flat [num_layers, L*Kn+1, H], x_slot [L*Kn, emb])
-    in the level-sorted layout. Slot space avoids the node-space
-    conversion whose backward is a [slots, H] scatter (measured ~2ms/step
-    at TOK shapes); readouts that only need per-graph pooling can run
-    directly over slots.
+    slot_space=True — (hcat_flat [L*Kn, num_layers*H], x_slot [L*Kn, emb])
+    in the level-sorted layout (layer l in columns l*H:(l+1)*H — exactly
+    the per-layer concatenation readouts consume). Slot space avoids the
+    node-space conversion whose backward is a [slots, H] scatter (measured
+    ~2ms/step at TOK shapes); readouts that only need per-graph pooling
+    run directly over slots.
     """
     params_dir, fxs, ixs, (L, kn) = _build_streams(params_dir, cfg, x,
                                                    edge_attr, sched)
     h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
+    packed = _fused_applicable(cfg)
     if slot_space:
+        if not packed:
+            # [nl, S+1, H] -> [S, nl*H] per-layer concat
+            h_flat = jnp.concatenate(
+                [h_flat[l, : L * kn, :] for l in range(cfg.num_layers)],
+                axis=-1)
+        else:
+            h_flat = h_flat[: L * kn]
         return h_flat, fxs["x"].reshape(L * kn, -1)
     # back to node space for readouts / VAE index arithmetic
     node_slot = jnp.asarray(sched.node_slot)
+    if packed:
+        hn = h_flat[node_slot]  # [N+1, nl*H]
+        n1 = hn.shape[0]
+        return jnp.moveaxis(
+            hn.reshape(n1, cfg.num_layers, cfg.hidden_dim), 1, 0)
     return h_flat[:, node_slot, :]
-
-
-def _stacked_dirs_pass(params, cfg: DAGNNConfig, x, edge_attr, batch):
-    """Both direction passes as ONE vmapped wavefront scan.
-
-    The forward and reverse passes are mutually independent (the reference
-    runs them back-to-back, ogbg-code/model/dagnn.py:144); their schedules
-    share static shapes (one PadConfig), so stacking params/streams on a
-    leading direction axis and vmapping the scan halves the sequential step
-    count — per step, every matmul becomes a [2, ...] batched matmul.
-    Returns [h_fwd, h_rev] each [num_layers, N+1, H].
-    """
-    built = []
-    for di, d in enumerate(cfg.dirs):
-        pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
-        sched = batch.fwd if d == 0 else batch.rev
-        built.append(_build_streams(pdir, cfg, x, edge_attr, sched))
-    (p0, f0, i0, (L, kn)) = built[0]
-    (p1, f1, i1, _) = built[1]
-    # stacking happens inside the traced function, so a shared aggregator
-    # (add/max share one instance across dirs, dagnn.py:74-75) still gets
-    # correctly summed gradients through the stack.
-    ps = jax.tree.map(lambda a, b: jnp.stack([a, b]), p0, p1)
-    fs = jax.tree.map(lambda a, b: jnp.stack([a, b]), f0, f1)
-    ixs = {k: (i0[k] if k == "lvl" else jnp.stack([i0[k], i1[k]]))
-           for k in i0}
-    # "lvl" is identical across directions and stays UNBATCHED (in_axes None):
-    # it feeds dynamic_(update_)slice offsets, and a vmapped DUS with batched
-    # start indices lowers to a scatter — catastrophically slow on TPU.
-    ix_axes = {k: (None if k == "lvl" else 0) for k in ixs}
-    h_flat = jax.vmap(partial(_wavefront, (cfg, L, kn)),
-                      in_axes=(0, 0, ix_axes))(ps, fs, ixs)
-    return [h_flat[di][:, jnp.asarray(s.node_slot), :]
-            for di, s in enumerate((batch.fwd, batch.rev))]
 
 
 def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
@@ -601,21 +606,36 @@ def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
     # keep the garbage row exactly zero so pad gathers are inert
     x = jnp.where(batch.node_mask[:, None], x, 0)
 
-    def _tg_shape(s):
-        return None if s.tgrad_eslot is None else s.tgrad_eslot.shape
-
-    if (cfg.stack_dirs and cfg.bidirectional
-            and batch.fwd.node_ids.shape == batch.rev.node_ids.shape
-            and batch.fwd.edge_src.shape == batch.rev.edge_src.shape
-            and _tg_shape(batch.fwd) == _tg_shape(batch.rev)):
-        return x, _stacked_dirs_pass(params, cfg, x, batch.edge_attr, batch)
-
     h_dirs = []
     for di, d in enumerate(cfg.dirs):
         pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
         sched = batch.fwd if d == 0 else batch.rev
         h_dirs.append(_direction_pass(pdir, cfg, x, batch.edge_attr, sched))
     return x, h_dirs
+
+
+def _pool_gathered(hsel, mask, kind, attn_params=None):
+    """Pool pre-gathered per-graph node states [G, Om, D] with mask [G, Om].
+
+    Same semantics as readout.pool_nodes (ops/segment.py empty-segment and
+    attn-compat rules) but over a dense per-graph axis — no segment scatter.
+    """
+    m = mask[..., None]
+    if kind in (P_ADD, P_SUM):
+        return jnp.sum(jnp.where(m, hsel, 0), axis=1)
+    if kind == P_MEAN:
+        s = jnp.sum(jnp.where(m, hsel, 0), axis=1)
+        cnt = jnp.sum(mask, axis=1).astype(hsel.dtype)
+        return s / jnp.maximum(cnt, 1.0)[:, None]
+    if kind == P_MAX:
+        neg = jnp.finfo(hsel.dtype).min
+        out = jnp.max(jnp.where(m, hsel, neg), axis=1)
+        return jnp.where(out <= neg, 0, out)
+    if kind == P_ATTN:
+        # reference dagnn.py:114-117 softmaxes a length-1 axis -> weights
+        # identically 1.0, i.e. add pool (see readout.pool_nodes attn_compat)
+        return jnp.sum(jnp.where(m, hsel, 0), axis=1)
+    raise ValueError(f"unknown pool kind {kind}")
 
 
 def dagnn_forward(
@@ -634,7 +654,7 @@ def dagnn_forward(
         attn_params=params.get("pool_attn"),
     )
 
-    if not cfg.out_pool_all and not (cfg.stack_dirs and cfg.bidirectional):
+    if not cfg.out_pool_all:
         # SLOT-SPACE readout fast path: final-node pooling is per direction,
         # so each direction pools straight from its level-sorted buffer —
         # no node-space conversion (scatter-free backward). Semantics equal
@@ -646,16 +666,29 @@ def dagnn_forward(
         for di, d in enumerate(cfg.dirs):
             pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
             sched = batch.fwd if d == 0 else batch.rev
-            h_flat, x_slot = _direction_pass(pdir, cfg, x, batch.edge_attr,
-                                             sched, slot_space=True)
+            hcat, x_slot = _direction_pass(pdir, cfg, x, batch.edge_attr,
+                                           sched, slot_space=True)
             L, kn = sched.node_ids.shape
+            if cfg.out_wx:
+                hcat = jnp.concatenate([x_slot, hcat], axis=-1)
+            oslots = (batch.out_slots_fwd if d == 0 else batch.out_slots_rev)
+            if oslots is not None:
+                # host-precomputed output-node slots [G, Om]: gather the few
+                # output rows per graph and pool densely — a per-graph
+                # segment-max over ALL 40k+ slots costs ~850us on v5e, this
+                # costs ~20us (gather of G*Om rows + a [G, Om, D] reduce)
+                omask2 = (batch.out_slots_mask_fwd if d == 0
+                          else batch.out_slots_mask_rev)
+                # pad entries point at slot 0 and are killed by the mask
+                hsel = hcat[jnp.asarray(oslots)]
+                parts.append(_pool_gathered(
+                    hsel, jnp.asarray(omask2), cfg.out_pool,
+                    params.get("pool_attn")))
+                continue
             nid = jnp.asarray(sched.node_ids).reshape(L * kn)
             slot_gid = batch.graph_id[nid]          # pad slots -> segment G
             omask = batch.out_mask_fwd if d == 0 else batch.out_mask_rev
             slot_mask = (omask & batch.node_mask)[nid]
-            layers = [h_flat[l, :L * kn, :] for l in range(cfg.num_layers)]
-            hcat = jnp.concatenate(
-                ([x_slot] if cfg.out_wx else []) + layers, axis=-1)
             parts.append(pool_nodes(hcat, slot_gid, num_graphs,
                                     mask=slot_mask, **pool_kw))
         out = jnp.concatenate(parts, axis=-1)

@@ -30,6 +30,14 @@ materialize anywhere, and weight gradients leave the kernel in (or one
 hoisted transpose away from) parameter layout. Operands stay in the
 compute dtype (bf16 in production) with float32 MXU accumulation;
 softmax internals are float32 always.
+
+LAYER-PACKED LAYOUT: all per-slot state crossing the kernel boundary is
+packed along the LAST axis — vals / outs / cotangents are [K, L*H] with
+layer l in columns l*H:(l+1)*H — so the caller's cross-row gathers move
+half as many (twice as wide) rows. XLA row gathers on TPU cost ~20ns per
+row regardless of width up to ~1KB (measured v5e), so this halves the
+dominant non-kernel cost of the wavefront scan. In-kernel the layers are
+lane-offset slices (Mosaic handles the 300-column offsets exactly).
 """
 
 from __future__ import annotations
@@ -227,7 +235,7 @@ class _DictRefs:
 
 
 def _prep_row(xin, vals, ea, edst, emask, nmask):
-    ke = vals.shape[1]
+    ke = vals.shape[0]
     kn = xin.shape[0]
     ea2 = ea if ea is not None else jnp.zeros((ke, 1), vals.dtype)
     return (xin, vals, ea2,
@@ -261,10 +269,11 @@ def _row_fwd_kernel(static, names, refs):
     for l in range(nlayers):
         aggp = {k: wref[f"a{l}_{k}"][:] for k in agg_keys(has_ea)}
         cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
-        out, _ = _layer_fwd(aggp, cellp, cur, q, vals_ref[l], ea, P, Pm,
+        out, _ = _layer_fwd(aggp, cellp, cur, q,
+                            vals_ref[:, l * hdim:(l + 1) * hdim], ea, P, Pm,
                             emask, nmask, hdim)
         out = out.astype(out_ref.dtype)
-        out_ref[l, :, :] = out
+        out_ref[:, l * hdim:(l + 1) * hdim] = out
         cur = out
         q = out
 
@@ -295,13 +304,15 @@ def _row_bwd_kernel(static, names, refs):
     if merge_tg:
         # incoming edge-grad segment-sum fused in (saves one pallas
         # dispatch per row): g_total = g + OH^T tg, OH one-hot of the
-        # transpose edges' local source slots
+        # transpose edges' local source slots. ONE [Kn,Kt]x[Kt,L*H]
+        # matmul covers every layer (packed last axis).
         kt = tdst_ref.shape[0]
         tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
         OH = ((tcol == tdst_ref[:]) & (tmask_ref[:] > 0)).astype(dt)
+        tg_all = _dg(OH, tg_ref[:], 0, 0)                      # [Kn, L*H] f32
         g_rows_tot = [
-            g_ref[l, :, :].astype(_F32)
-            + _dg(OH, tg_ref[l, :, :], 0, 0)
+            g_ref[:, l * hdim:(l + 1) * hdim].astype(_F32)
+            + tg_all[:, l * hdim:(l + 1) * hdim]
             for l in range(nlayers)
         ]
 
@@ -314,7 +325,8 @@ def _row_bwd_kernel(static, names, refs):
         cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
         curs.append(cur)
         qs.append(q)
-        out, res = _layer_fwd(aggp, cellp, cur, q, vals_ref[l], ea, P, Pm,
+        out, res = _layer_fwd(aggp, cellp, cur, q,
+                              vals_ref[:, l * hdim:(l + 1) * hdim], ea, P, Pm,
                               emask, nmask, hdim)
         out = out.astype(dt)
         resids.append(res)
@@ -329,14 +341,15 @@ def _row_bwd_kernel(static, names, refs):
         if merge_tg:
             g_l = g_rows_tot[l]                                # [Kn, H] f32
         else:
-            g_l = g_ref[l, :, :].astype(_F32)                  # [Kn, H] f32
+            g_l = g_ref[:, l * hdim:(l + 1) * hdim].astype(_F32)
         if g_next is not None:
             g_l = g_l + g_next
         g_l = g_l * nmask
         dcur, dq, dval, dea_l, daggp, dcell = _layer_bwd(
-            aggps[l], cellps[l], curs[l], qs[l], vals_ref[l], ea, P,
+            aggps[l], cellps[l], curs[l], qs[l],
+            vals_ref[:, l * hdim:(l + 1) * hdim], ea, P,
             resids[l], g_l, hdim)
-        dvals_ref[l, :, :] = dval.astype(dvals_ref.dtype)
+        dvals_ref[:, l * hdim:(l + 1) * hdim] = dval.astype(dvals_ref.dtype)
         for k, v in daggp.items():
             ref = dwrefs[f"a{l}_{k}"]
             ref[:] = v.astype(ref.dtype)
@@ -357,7 +370,8 @@ def _row_bwd_kernel(static, names, refs):
 
 def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
                       weights):
-    """Whole-row fused forward. vals [L, Ke, H]; returns outs [L, Kn, H].
+    """Whole-row fused forward. vals [Ke, L*H] layer-packed; returns outs
+    [Kn, L*H] (layer l in columns l*H:(l+1)*H).
 
     static = (has_ea, hidden_dim, num_layers). `weights` is the ordered
     dict from flatten_row_weights."""
@@ -371,7 +385,7 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
 
     fn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nlayers, kn, hdim), xin.dtype),
+        out_shape=jax.ShapeDtypeStruct((kn, nlayers * hdim), xin.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(names)),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         **_call_kw(interpret),
@@ -385,8 +399,7 @@ def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
     Kept separate from the main backward kernel to stay under the scoped
     VMEM limit; expressed as a one-hot MXU matmul because the equivalent
     XLA one-hot einsum gets pattern-rewritten into a scatter (~40us/row
-    measured on v5e; this is ~1us)."""
-    nlayers, _, hdim = g.shape
+    measured on v5e; this is ~1us). g [Kn, L*H], tg [Kt, L*H]."""
     kt = tdst.shape[0]
     tdst2 = tdst.astype(jnp.int32).reshape(kt, 1)
     tmask2 = tmask.astype(_F32).reshape(kt, 1)
@@ -394,10 +407,8 @@ def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
     def kernel(g_ref, tg_ref, tdst_ref, tmask_ref, out_ref):
         tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
         OH = ((tcol == tdst_ref[:]) & (tmask_ref[:] > 0)).astype(tg_ref.dtype)
-        for l in range(nlayers):
-            out_ref[l, :, :] = (g_ref[l, :, :].astype(_F32)
-                                + _dg(OH, tg_ref[l, :, :], 0, 0)
-                                ).astype(out_ref.dtype)
+        out_ref[:] = (g_ref[:].astype(_F32)
+                      + _dg(OH, tg_ref[:], 0, 0)).astype(out_ref.dtype)
 
     fn = pl.pallas_call(
         kernel,
@@ -416,11 +427,11 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     DAGNN_TPU_SPLIT_TG=1 or merge_tg=False for the two-call form if a
     shape ever exceeds the kernel VMEM budget).
 
-    g     [L, Kn, H] cotangent slice of this row's outputs
-    tg    [L, Kt, H] edge grads flowing into this row (caller-gathered
+    g     [Kn, L*H] cotangent slice of this row's outputs (layer-packed)
+    tg    [Kt, L*H] edge grads flowing into this row (caller-gathered
           from the contiguous edge-grad buffer; garbage slots zero)
     tdst  [Kt] local source slot of each transpose edge (pad = Kn)
-    Returns (dx [Kn, emb], dvals [L, Ke, H], dea or None, dw flat dict).
+    Returns (dx [Kn, emb], dvals [Ke, L*H], dea or None, dw flat dict).
     """
     import os
     if os.environ.get("DAGNN_TPU_SPLIT_TG"):
