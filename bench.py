@@ -11,9 +11,19 @@ direction-multiplied, to stay conservative and comparable).
 vs_baseline is value / 1e6 — a nominal 1M edges/s/chip bar recorded at
 round 1 (the reference repo commits no numbers, BASELINE.md); later rounds
 compare against their own history in BENCH_r{N}.json.
+
+--roofline additionally prints an accounting line: analytic model FLOPs
+(fwd + 2x bwd), executed FLOPs (including pad slots and the backward's
+in-kernel forward recompute), achieved FLOP/s vs the chip's bf16 peak
+(MFU), an HBM-traffic estimate vs peak bandwidth, and the per-scan-row
+latency split. The wavefront's binding constraint on TPU is SEQUENTIAL ROW
+LATENCY (cross-row gather + kernel dispatch per topological row), not
+FLOPs or bandwidth — the roofline line quantifies all three so the bar
+stops being a folk number.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -29,6 +39,61 @@ from dagnn_tpu.train.optim import make_optimizer
 import __graft_entry__ as ge
 
 BASELINE_EDGES_PER_S = 1.0e6
+
+# TPU v5e (v5 lite) single-chip peaks (public spec)
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
+
+
+def _roofline(cfg, batch, dt, n_params):
+    """Analytic FLOP/byte model of one train step at the bench config."""
+    H, E_dim = cfg.hidden_dim, cfg.emb_dim
+    dirs, nl = len(cfg.dirs), cfg.num_layers
+    n = int(batch.n_node)
+    e = int(batch.n_edge)
+    L, Kn = batch.fwd.node_ids.shape
+    Ke = batch.fwd.edge_src.shape[1]
+    Kt = batch.fwd.tgrad_eslot.shape[1]
+    G, S, V = batch.y["y_arr"].shape[0], cfg.max_seq_len, cfg.num_vocab
+
+    def gru_flops(units):
+        # gi + gh matmuls per unit per layer (In == H at bench config)
+        return units * dirs * nl * 2 * (3 * H * E_dim + 3 * H * H)
+
+    def attn_flops(edge_units):
+        # edge encode (R->A) + k score + SpMM value reduce, per edge/layer
+        return edge_units * dirs * nl * 2 * (cfg.num_rels * H + H + H)
+
+    head = 2 * G * S * V * cfg.out_hidden_dim
+    fwd_useful = gru_flops(n) + attn_flops(e) + head
+    # executed: pad slots/edges run too, plus the P one-hot MXU passes
+    # ([Ke,Kn]x[Kn,H]-shaped: softmax shift, denominator, SpMM ~ 3/layer)
+    p_mm = L * dirs * nl * 3 * 2 * Ke * Kn * H
+    fwd_exec = gru_flops(L * Kn) + attn_flops(L * Ke) + p_mm + head
+    tg_mm = L * dirs * 2 * Kt * Kn * nl * H
+    model = 3 * fwd_useful                      # fwd + 2x analytic bwd
+    execd = 4 * fwd_exec + tg_mm                # + in-kernel fwd recompute
+
+    bpe = 2  # bf16
+    streams = L * Kn * E_dim * bpe * dirs       # x stream
+    h_buf = (L * Kn + 1) * nl * H * bpe * dirs
+    vals_s = L * Ke * nl * H * bpe * dirs
+    acc = (L * Ke + 1) * nl * H * bpe * dirs
+    dw = L * dirs * nl * (2 * 3 * H * (E_dim + H)) * bpe * 3  # rw+add per row
+    opt = n_params * 4 * 8                      # p, m, v, grad rw in f32
+    bytes_est = (2 * streams + 3 * h_buf + 2 * vals_s + 3 * acc + dw + opt)
+
+    return dict(
+        model_tflops=round(model / 1e12, 3),
+        executed_tflops=round(execd / 1e12, 3),
+        mfu=round(model / dt / PEAK_BF16_FLOPS, 4),
+        executed_vs_peak=round(execd / dt / PEAK_BF16_FLOPS, 4),
+        hbm_gb_est=round(bytes_est / 1e9, 2),
+        hbm_util_est=round(bytes_est / dt / PEAK_HBM_BYTES, 4),
+        seq_rows=int(L * dirs),
+        us_per_row=round(dt / (L * dirs) * 1e6, 2),
+        binding="sequential row latency (gather+dispatch), not flops/bw",
+    )
 
 
 def main():
@@ -74,6 +139,11 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
     }))
+    if "--roofline" in sys.argv:
+        n_params = sum(int(np.prod(a.shape))
+                       for a in jax.tree.leaves(params))
+        print(json.dumps({"metric": "roofline",
+                          **_roofline(cfg, batch, dt / iters, n_params)}))
 
 
 if __name__ == "__main__":
