@@ -90,7 +90,8 @@ def main(argv=None):
 
     # --- edge partitioning: ONE batched DAG sharded across the mesh ---
     from dagnn_tpu.parallel.edge_partition import (
-        partition_schedule_sharded, ep_readout_aux, make_ep_train_step)
+        partition_schedule_sharded, ep_readout_aux, ep_wire_stats,
+        make_ep_train_step)
     import dataclasses as dc
 
     def loss_head(logits, y, gmask):
@@ -101,9 +102,21 @@ def main(argv=None):
         pad1 = ge._pad_for(graphs, n_shards=1, chunk=chunk)
         pad1 = dc.replace(pad1, nodes_per_level=chunk)
         batch = collate(graphs, pad1)
+        t0 = time.perf_counter()
         eps_f, st_f = partition_schedule_sharded(batch.fwd, d)
         eps_r, st_r = partition_schedule_sharded(batch.rev, d)
+        plan_ms = (time.perf_counter() - t0) * 1e3
         aux = ep_readout_aux(batch, (eps_f, eps_r), cfg)
+        if d > 1:
+            wire = ep_wire_stats(eps_f, cfg.hidden_dim)
+            print(f"EP x{d} plan {plan_ms:.0f} ms; wire/step: "
+                  f"boundary {wire['boundary_bytes_real']/1e6:.2f} MB real "
+                  f"({wire['boundary_bytes_padded']/1e6:.2f} padded, "
+                  f"deferred {wire['deferred_frac']:.0%}) vs full-row "
+                  f"all_gather {wire['allgather_bytes_per_step']/1e6:.2f} MB")
+            results["ep_wire_boundary_mb"] = wire["boundary_bytes_real"] / 1e6
+            results["ep_wire_allgather_mb"] = (
+                wire["allgather_bytes_per_step"] / 1e6)
         mesh = make_mesh(d, ("ep",))
         step = make_ep_train_step(cfg, mesh, (st_f, st_r), loss_head, opt)
         sargs = (params, opt.init(params), jnp.asarray(batch.x),

@@ -18,12 +18,20 @@ Two schemes:
    plus a HALO region of the remote slots its edges actually read — memory
    shrinks with D instead of being replicated. Per row:
 
-     forward:  compute own slice -> all_gather the row over the mesh axis
-               (boundary exchange, O(Kn·H) per link) -> keep own slice +
-               scatter the halo entries sourced from this row.
-     backward: edge gradients are delivered to slot OWNERS with a
-               psum_scatter of per-device one-hot segment sums — the
-               transpose of the forward all_gather, same wire volume.
+     forward:  compute own slice -> BOUNDARY-ONLY exchange: an
+               all_to_all carrying, per (sender, receiver) pair, only the
+               halo entries the receiver's later rows actually read
+               (host-planned, O(B·H) per link instead of the full-row
+               all_gather's O(Kn·H)). Entries first read ≥ 2 rows after
+               their source row are DEFERRED: their exchange is issued
+               one scan step early through the carry, so XLA's collective
+               pipeliner can overlap the wire with the next row's compute.
+               Span-1 entries ride a synchronous exchange (statically
+               skipped when the batch has none).
+     backward: the exact mirror — per-halo-entry gradients are
+               all_to_all'd back to slot owners over the SAME host plan
+               (send/recv roles swapped), replacing the previous full-row
+               one-hot + psum_scatter.
 
    The backward is a custom VJP exploiting the same write-once property as
    the single-device scan (nn/dagnn.py): only the final buffer is saved
@@ -31,9 +39,10 @@ Two schemes:
    region is internal: the public function returns only owned slices, so
    copies never leak gradients.
 
-Collectives are XLA all_gather/psum_scatter/psum over a named mesh axis —
-they ride ICI within a slice and DCN across slices when the axis spans
-hosts (see parallel/mesh.py make_hybrid_mesh).
+Collectives are XLA all_to_all/psum over a named mesh axis — they ride
+ICI within a slice and DCN across slices when the axis spans hosts (see
+parallel/mesh.py make_hybrid_mesh). All host planning is vectorized
+(lexsort/bincount — no per-(device, row) Python loops).
 """
 
 from __future__ import annotations
@@ -74,12 +83,7 @@ def partition_schedule(sched: LevelSchedule, n_dev: int) -> LevelSchedule:
     node_ids = sched.node_ids.reshape(R, n_dev, w).transpose(1, 0, 2)
     node_mask = sched.node_mask.reshape(R, n_dev, w).transpose(1, 0, 2)
 
-    owner = np.where(sched.edge_mask, sched.edge_dst // w, -1)  # [R, Ke]
-    counts = np.zeros((n_dev, R), np.int64)
-    for d in range(n_dev):
-        counts[d] = (owner == d).sum(axis=1)
-    ke_d = int(counts.max()) if counts.size else 0
-    ke_d = max(ke_d, 1)
+    rr, kk, dev, pos, ke_d = _group_edges_by_device(sched, w, n_dev)
 
     flat_pad = R * Kn
     e_src = np.full((n_dev, R, ke_d), _node_pad(sched), np.int32)
@@ -87,15 +91,11 @@ def partition_schedule(sched: LevelSchedule, n_dev: int) -> LevelSchedule:
     e_dst = np.full((n_dev, R, ke_d), w, np.int32)
     e_id = np.full((n_dev, R, ke_d), _edge_pad(sched), np.int32)
     e_mask = np.zeros((n_dev, R, ke_d), bool)
-    for d in range(n_dev):
-        for r in range(R):
-            sel = np.flatnonzero(owner[r] == d)
-            k = len(sel)
-            e_src[d, r, :k] = sched.edge_src[r, sel]
-            e_slot[d, r, :k] = sched.edge_src_slot[r, sel]
-            e_dst[d, r, :k] = sched.edge_dst[r, sel] - d * w  # device-local
-            e_id[d, r, :k] = sched.edge_id[r, sel]
-            e_mask[d, r, :k] = True
+    e_src[dev, rr, pos] = sched.edge_src[rr, kk]
+    e_slot[dev, rr, pos] = sched.edge_src_slot[rr, kk]
+    e_dst[dev, rr, pos] = sched.edge_dst[rr, kk] - dev * w  # device-local
+    e_id[dev, rr, pos] = sched.edge_id[rr, kk]
+    e_mask[dev, rr, pos] = True
 
     return LevelSchedule(
         node_ids=node_ids, node_mask=node_mask,
@@ -105,6 +105,28 @@ def partition_schedule(sched: LevelSchedule, n_dev: int) -> LevelSchedule:
         node_slot=np.tile(sched.node_slot[None], (n_dev, 1)),
         num_levels=np.tile(np.asarray(sched.num_levels)[None], (n_dev,)),
     )
+
+
+def _group_edges_by_device(sched: LevelSchedule, w: int, n_dev: int,
+                           min_ke: int = 1):
+    """Vectorized (row, slot) -> (device, row, position) edge regrouping.
+
+    Returns (rr, kk, dev, pos, ke_d): for every real edge at [rr, kk] of
+    the base schedule, the owning device of its target (edge_dst // w) and
+    its rank within that device's row-r list; ke_d is the padded width.
+    """
+    R = sched.node_ids.shape[0]
+    rr, kk = np.nonzero(sched.edge_mask)
+    dev = (sched.edge_dst[rr, kk] // w).astype(np.int64)
+    key = dev * R + rr
+    order = np.lexsort((kk, key))
+    rr, kk, dev, key = rr[order], kk[order], dev[order], key[order]
+    counts = np.bincount(key, minlength=n_dev * R)
+    ke_d = max(int(counts.max()) if counts.size else 0, min_ke)
+    starts = np.zeros(n_dev * R + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(rr)) - starts[key]
+    return rr, kk, dev, pos, ke_d
 
 
 def _node_pad(sched: LevelSchedule) -> int:
@@ -194,9 +216,23 @@ class EPSchedule(NamedTuple):
     on every array; shard_map strips it to this device's shard.
 
     Sizes: R rows, w = Kn/D own slots/row, Ke_d edges/row/device, Hs halo
-    slots/device, Ws halo writes/row, Kt_d transpose width.
+    slots/device, Kt_d transpose width, Dp = mesh-axis size, B* exchange
+    block widths.
 
     Local state buffer layout per device: [R*w own | Hs halo | 1 garbage].
+
+    Exchange plans are ALIGNED pairs: the block device d sends to peer p at
+    row r (gathered by `*_send_col[d, r, p]` from d's own row outputs) is
+    written by p at halo indices `*_recv_hidx[p, r, d]` — both sides are
+    filled from the same host-sorted entry list, so position j on the send
+    side is position j on the receive side. `u_*` covers URGENT entries
+    (first read exactly one row after their source row — exchanged
+    synchronously), `d_*` covers DEFERRED entries (first read >= 2 rows
+    later — exchanged one scan step after their source row through the
+    carry, so the collective can overlap the next row's compute). The
+    full plan `x_*` (urgent + deferred) drives the backward's mirrored
+    grad return. `d_recv_*` arrays are PRE-SHIFTED by one row (row r holds
+    row r-1's plan) so the scan consumes them with its own row index.
     """
 
     node_ids: np.ndarray       # [D, R, w] global node id of own slots
@@ -205,10 +241,23 @@ class EPSchedule(NamedTuple):
     e_dst: np.ndarray          # [D, R, Ke_d] own-local target slot in [0, w]
     e_id: np.ndarray           # [D, R, Ke_d] original edge id (ea gather)
     e_mask: np.ndarray         # [D, R, Ke_d]
-    hw_idx: np.ndarray         # [D, R, Ws] halo index written at row r (pad Hs)
-    hw_col: np.ndarray         # [D, R, Ws] source column in [0, Kn) (pad 0)
-    t_eslot: np.ndarray        # [D, R, Kt_d] flat edge slot (r*Ke_d+k) whose SOURCE is in row r
-    t_col: np.ndarray          # [D, R, Kt_d] source column in [0, Kn) (pad Kn)
+    # full exchange plan (backward grad return; Bf wide)
+    x_send_col: np.ndarray     # [D, R, Dp, Bf] own col in [0,w) (pad 0)
+    x_send_mask: np.ndarray    # [D, R, Dp, Bf]
+    x_recv_hidx: np.ndarray    # [D, R, Dp, Bf] halo index (pad Hs)
+    # urgent subset (span-1, synchronous; Bu wide)
+    u_send_col: np.ndarray     # [D, R, Dp, Bu]
+    u_send_mask: np.ndarray    # [D, R, Dp, Bu]
+    u_recv_hidx: np.ndarray    # [D, R, Dp, Bu]
+    # deferred subset (span>=2, pipelined; Bd wide; recv side shifted +1)
+    d_send_col: np.ndarray     # [D, R, Dp, Bd] plan of row r (send at r)
+    d_send_mask: np.ndarray    # [D, R, Dp, Bd]
+    d_recv_hidx: np.ndarray    # [D, R, Dp, Bd] row r holds row r-1's plan
+    d_recv_mask: np.ndarray    # [D, R, Dp, Bd]
+    # transpose plan (edges grouped by SOURCE row, for the backward)
+    t_eslot: np.ndarray        # [D, R, Kt_d] flat edge slot (r*Ke_d+k)
+    t_lcol: np.ndarray         # [D, R, Kt_d] own-local source col, w if remote/pad
+    t_blk: np.ndarray          # [D, R, Kt_d] p*Bf+j into the full plan, Dp*Bf if own/pad
     t_mask: np.ndarray         # [D, R, Kt_d]
 
 
@@ -217,6 +266,45 @@ class EPStatic:
     rows: int
     own_w: int
     halo: int
+    has_urgent: bool = True
+    has_deferred: bool = True
+
+
+def _fill_plan(entries, n_dev, R, Dp, B, Hs):
+    """Fill aligned send/recv plan arrays from a flat entry table.
+
+    entries: dict of 1-D arrays {recv_d, send_d, row, col, hidx} — one
+    element per (receiver, halo-entry) exchanged at `row` (the source
+    row on the send side). Returns (send_col, send_mask, recv_hidx,
+    recv_mask, blk_of_entry) where blk_of_entry[i] = peer*B + j is entry
+    i's position in the RECEIVER's block layout.
+    """
+    send_col = np.zeros((n_dev, R, Dp, B), np.int32)
+    send_mask = np.zeros((n_dev, R, Dp, B), bool)
+    recv_hidx = np.full((n_dev, R, Dp, B), Hs, np.int32)
+    recv_mask = np.zeros((n_dev, R, Dp, B), bool)
+    rd, sd, row, col, hidx = (entries[k] for k in
+                              ("recv_d", "send_d", "row", "col", "hidx"))
+    # canonical order: group by (sender, row, receiver), sort by col
+    key = (sd * R + row) * n_dev + rd
+    order = np.lexsort((col, key))
+    rd, sd, row, col, hidx = (a[order] for a in (rd, sd, row, col, hidx))
+    key = key[order]
+    counts = np.bincount(key, minlength=n_dev * R * n_dev)
+    starts = np.zeros(counts.size + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    j = np.arange(len(rd)) - starts[key]
+    if len(rd) and int(j.max()) >= B:
+        raise ValueError(f"exchange block {int(j.max()) + 1} > width {B}")
+    send_col[sd, row, rd, j] = col
+    send_mask[sd, row, rd, j] = True
+    recv_hidx[rd, row, sd, j] = hidx
+    recv_mask[rd, row, sd, j] = True
+    blk = np.empty(len(rd), np.int64)
+    blk[:] = sd * B + j
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    return send_col, send_mask, recv_hidx, recv_mask, blk[inv]
 
 
 def partition_schedule_sharded(
@@ -224,9 +312,12 @@ def partition_schedule_sharded(
         widths: Optional[dict] = None) -> Tuple[EPSchedule, EPStatic]:
     """Build the sharded-state plan from a base LevelSchedule.
 
-    widths: optional static width targets {"ke_d", "halo", "ws", "kt"} so
-    different batches compile to one program (analog of PadConfig); each
-    defaults to this schedule's exact maximum."""
+    Fully vectorized (lexsort/bincount passes — no per-(device, row)
+    Python loops; a bench-sized batch plans in tens of milliseconds).
+
+    widths: optional static width targets {"ke_d", "halo", "kt", "bf",
+    "bu", "bd"} so different batches compile to one program (analog of
+    PadConfig); each defaults to this schedule's exact maximum."""
     widths = widths or {}
     R, Kn = sched.node_ids.shape
     if Kn % n_dev != 0:
@@ -234,11 +325,8 @@ def partition_schedule_sharded(
     w = Kn // n_dev
     flat_pad_g = R * Kn
 
-    owner = np.where(sched.edge_mask, sched.edge_dst // w, -1)  # [R, Ke]
-
     # --- per-device edge lists grouped by row (targets owned by d) ---
-    counts = np.stack([(owner == d).sum(axis=1) for d in range(n_dev)])
-    ke_d = max(int(counts.max()) if counts.size else 0, 1)
+    rr, kk, dev, pos, ke_d = _group_edges_by_device(sched, w, n_dev)
     ke_d = max(ke_d, widths.get("ke_d", 0))
     if ke_d > widths.get("ke_d", ke_d):
         raise ValueError(f"ke_d {ke_d} exceeds width target")
@@ -247,87 +335,146 @@ def partition_schedule_sharded(
     e_dst = np.full((n_dev, R, ke_d), w, np.int32)
     e_id = np.full((n_dev, R, ke_d), _edge_pad(sched), np.int32)
     e_mask = np.zeros((n_dev, R, ke_d), bool)
-    for d in range(n_dev):
-        for r in range(R):
-            sel = np.flatnonzero(owner[r] == d)
-            k = len(sel)
-            e_src_g[d, r, :k] = sched.edge_src_slot[r, sel]
-            e_dst[d, r, :k] = sched.edge_dst[r, sel] - d * w
-            e_id[d, r, :k] = sched.edge_id[r, sel]
-            e_mask[d, r, :k] = True
+    e_src_g[dev, rr, pos] = sched.edge_src_slot[rr, kk]
+    e_dst[dev, rr, pos] = sched.edge_dst[rr, kk] - dev * w
+    e_id[dev, rr, pos] = sched.edge_id[rr, kk]
+    e_mask[dev, rr, pos] = True
 
-    # --- halo: remote source slots each device reads ---
-    halos = []
-    for d in range(n_dev):
-        s = e_src_g[d][e_mask[d]]
-        col = s % Kn
-        remote = s[(col // w != d) & (s < flat_pad_g)]
-        halos.append(np.unique(remote))
-    Hs = max([len(h) for h in halos] + [1, widths.get("halo", 0)])
-    halo_idx = np.full((n_dev, Hs), flat_pad_g, np.int64)
-    for d, h in enumerate(halos):
-        halo_idx[d, :len(h)] = h
+    # --- halo: unique remote source slots each device reads, and the
+    # first row that reads each (urgent/deferred classification) ---
+    src_g = sched.edge_src_slot[rr, kk].astype(np.int64)   # per real edge
+    src_col = src_g % Kn
+    remote = (src_col // w != dev) & (src_g < flat_pad_g)
+    pair = dev[remote] * (flat_pad_g + 1) + src_g[remote]  # (reader dev, slot)
+    upair, uinv = np.unique(pair, return_inverse=True)
+    first_use = np.full(len(upair), R, np.int64)
+    np.minimum.at(first_use, uinv, rr[remote])             # reader's row
+    h_dev = upair // (flat_pad_g + 1)
+    h_slot = upair % (flat_pad_g + 1)
+    h_row = h_slot // Kn                                    # source row
+    h_col = h_slot % Kn
+    h_cnt = np.bincount(h_dev, minlength=n_dev)
+    Hs = max(int(h_cnt.max()) if len(h_cnt) else 0, 1, widths.get("halo", 0))
+    if int(h_cnt.max() if len(h_cnt) else 0) > Hs:
+        raise ValueError("halo exceeds width target")
+    h_starts = np.zeros(n_dev + 1, np.int64)
+    np.cumsum(h_cnt, out=h_starts[1:])
+    h_idx = np.arange(len(upair)) - h_starts[h_dev]        # halo index per entry
 
     # --- remap global source slots to local buffer indices ---
     garbage = R * w + Hs
-    e_src_l = np.full((n_dev, R, ke_d), garbage, np.int32)
-    for d in range(n_dev):
-        lut = np.full(flat_pad_g + 1, garbage, np.int64)
-        gcols = np.arange(w) + d * w
-        for r in range(R):
-            lut[r * Kn + gcols] = r * w + np.arange(w)
-        valid = halo_idx[d] < flat_pad_g
-        lut[halo_idx[d][valid]] = R * w + np.flatnonzero(valid)
-        e_src_l[d] = lut[e_src_g[d]]
+    lut = np.full((n_dev, flat_pad_g + 1), garbage, np.int64)
+    own_g = (np.arange(R)[:, None] * Kn + np.arange(w)[None, :])  # [R, w]
+    for d in range(n_dev):                    # D iterations, vector body
+        lut[d, (own_g + d * w).ravel()] = np.arange(R * w)
+    lut[h_dev, h_slot] = R * w + h_idx
+    e_src_l = np.take_along_axis(
+        lut, e_src_g.reshape(n_dev, -1), axis=1).reshape(
+            n_dev, R, ke_d).astype(np.int32)
 
-    # --- halo write plan: halo entries grouped by source row ---
-    hrow = np.where(halo_idx < flat_pad_g, halo_idx // Kn, R)  # [D, Hs]
-    ws = max(1, widths.get("ws", 0))
-    for d in range(n_dev):
-        c = np.bincount(hrow[d][hrow[d] < R], minlength=max(R, 1))
-        ws = max(ws, int(c.max()) if len(c) else 0)
-    hw_idx = np.full((n_dev, R, ws), Hs, np.int32)
-    hw_col = np.zeros((n_dev, R, ws), np.int32)
-    for d in range(n_dev):
-        for r in range(R):
-            sel = np.flatnonzero(hrow[d] == r)
-            hw_idx[d, r, :len(sel)] = sel
-            hw_col[d, r, :len(sel)] = (halo_idx[d, sel] % Kn).astype(np.int32)
+    # --- exchange plans: full / urgent (span 1) / deferred (span >= 2) ---
+    ent = dict(recv_d=h_dev, send_d=h_col // w, row=h_row, col=h_col % w,
+               hidx=h_idx)
+    span1 = first_use <= h_row + 1
+    sel = lambda m: {k: v[m] for k, v in ent.items()}
+    bw = lambda e, floor: max(
+        int(np.bincount(((e["send_d"] * R + e["row"]) * n_dev
+                         + e["recv_d"]),
+                        minlength=1).max()) if len(e["row"]) else 0, floor)
+    Bf = max(bw(ent, 1), widths.get("bf", 0))
+    Bu = max(bw(sel(span1), 1), widths.get("bu", 0))
+    Bd = max(bw(sel(~span1), 1), widths.get("bd", 0))
+    x_sc, x_sm, x_rh, _, blk_full = _fill_plan(ent, n_dev, R, n_dev, Bf, Hs)
+    u_sc, u_sm, u_rh, _, _ = _fill_plan(sel(span1), n_dev, R, n_dev, Bu, Hs)
+    d_sc, d_sm, d_rh0, d_rm0, _ = _fill_plan(sel(~span1), n_dev, R, n_dev,
+                                             Bd, Hs)
+    # recv side of the deferred plan shifted one row later (pipelined)
+    d_rh = np.concatenate([np.full_like(d_rh0[:, :1], Hs), d_rh0[:, :-1]], 1)
+    d_rm = np.concatenate([np.zeros_like(d_rm0[:, :1]), d_rm0[:, :-1]], 1)
 
     # --- transpose plan: this device's edges grouped by SOURCE ROW ---
-    kt = max(1, widths.get("kt", 0))
-    t_data = []
-    for d in range(n_dev):
-        rr, cc = np.nonzero(e_mask[d])
-        src_row = (e_src_g[d, rr, cc] // Kn).astype(np.int64)
-        src_col = (e_src_g[d, rr, cc] % Kn).astype(np.int64)
-        fslot = rr * ke_d + cc
-        order = np.lexsort((fslot, src_col, src_row))
-        t_data.append((src_row[order], src_col[order], fslot[order]))
-        if len(src_row):
-            kt = max(kt, int(np.bincount(src_row, minlength=R).max()))
+    # blk position of each remote edge's halo entry in the full plan
+    blk_lut = np.full((n_dev, Hs), n_dev * Bf, np.int64)
+    blk_lut[h_dev, h_idx] = blk_full
+    erow = np.repeat(np.arange(R)[None, :], n_dev, 0)[..., None]  # [D,R,1]
+    src_row_e = np.where(e_mask, e_src_g // Kn, R).astype(np.int64)
+    src_col_e = np.where(e_mask, e_src_g % Kn, 0).astype(np.int64)
+    own_e = e_mask & (src_col_e // w == np.arange(n_dev)[:, None, None])
+    dd, tr, tk = np.nonzero(e_mask)
+    srow = src_row_e[dd, tr, tk]
+    scol = src_col_e[dd, tr, tk]
+    fslot = tr * ke_d + tk
+    own_f = own_e[dd, tr, tk]
+    # local col for own sources; block position for remote ones
+    lcol = np.where(own_f, scol - dd * w, w)
+    hloc = lut[dd, np.where(own_f, 0, e_src_g[dd, tr, tk])] - R * w
+    blk = np.where(own_f, n_dev * Bf,
+                   blk_lut[dd, np.clip(hloc, 0, Hs - 1)])
+    key = dd * R + srow
+    order = np.lexsort((fslot, scol, key))
+    dd, srow, lcol, blk, fslot = (a[order] for a in
+                                  (dd, srow, lcol, blk, fslot))
+    key = key[order]
+    counts = np.bincount(key, minlength=n_dev * R)
+    kt = max(int(counts.max()) if counts.size else 0, 1,
+             widths.get("kt", 0))
+    starts = np.zeros(counts.size + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    tpos = np.arange(len(dd)) - starts[key]
     eflat_pad = R * ke_d
     t_eslot = np.full((n_dev, R, kt), eflat_pad, np.int32)
-    t_col = np.full((n_dev, R, kt), Kn, np.int32)
+    t_lcol = np.full((n_dev, R, kt), w, np.int32)
+    t_blk = np.full((n_dev, R, kt), n_dev * Bf, np.int32)
     t_mask = np.zeros((n_dev, R, kt), bool)
-    for d in range(n_dev):
-        srow, scol, fslot = t_data[d]
-        starts = np.zeros(R + 1, np.int64)
-        np.cumsum(np.bincount(srow, minlength=R), out=starts[1:])
-        pos = np.arange(len(srow)) - starts[srow]
-        t_eslot[d, srow, pos] = fslot
-        t_col[d, srow, pos] = scol
-        t_mask[d, srow, pos] = True
+    t_eslot[dd, srow, tpos] = fslot
+    t_lcol[dd, srow, tpos] = lcol
+    t_blk[dd, srow, tpos] = blk
+    t_mask[dd, srow, tpos] = True
 
     node_ids = sched.node_ids.reshape(R, n_dev, w).transpose(1, 0, 2)
     node_mask = sched.node_mask.reshape(R, n_dev, w).transpose(1, 0, 2)
     eps = EPSchedule(
         node_ids=node_ids.astype(np.int32), node_mask=node_mask,
         e_src_lslot=e_src_l, e_dst=e_dst, e_id=e_id, e_mask=e_mask,
-        hw_idx=hw_idx, hw_col=hw_col,
-        t_eslot=t_eslot, t_col=t_col, t_mask=t_mask,
+        x_send_col=x_sc, x_send_mask=x_sm, x_recv_hidx=x_rh,
+        u_send_col=u_sc, u_send_mask=u_sm, u_recv_hidx=u_rh,
+        d_send_col=d_sc, d_send_mask=d_sm, d_recv_hidx=d_rh,
+        d_recv_mask=d_rm,
+        t_eslot=t_eslot, t_lcol=t_lcol, t_blk=t_blk, t_mask=t_mask,
     )
-    return eps, EPStatic(rows=R, own_w=w, halo=Hs)
+    st = EPStatic(rows=R, own_w=w, halo=Hs,
+                  has_urgent=bool(span1.any() or widths.get("bu", 0)),
+                  has_deferred=bool((~span1).any() or widths.get("bd", 0)))
+    return eps, st
+
+
+def ep_widths_of(eps: EPSchedule, st: EPStatic,
+                 acc: Optional[dict] = None) -> dict:
+    """Merge this plan's static widths into `acc` (for shape-stable
+    multi-batch compilation: measure every batch, then rebuild with the
+    max — the EP analog of PadConfig)."""
+    acc = dict(acc or {})
+    mine = {"ke_d": eps.e_dst.shape[-1], "kt": eps.t_mask.shape[-1],
+            "halo": st.halo, "bf": eps.x_send_col.shape[-1],
+            "bu": eps.u_send_col.shape[-1], "bd": eps.d_send_col.shape[-1]}
+    for k, v in mine.items():
+        acc[k] = max(acc.get(k, 0), int(v))
+    return acc
+
+
+def ep_wire_stats(eps: EPSchedule, hidden: int, dtype_bytes: int = 2) -> dict:
+    """Boundary-exchange wire accounting vs the old full-row all_gather."""
+    D, R, w = eps.node_ids.shape
+    Kn = D * w
+    real = int(eps.x_send_mask.sum())
+    padded = int(np.prod(eps.x_send_mask.shape))
+    deferred = int(eps.d_send_mask.sum())
+    return {
+        "allgather_bytes_per_step": R * Kn * hidden * dtype_bytes * (D - 1) // max(D, 1) * D,
+        "boundary_bytes_real": real * hidden * dtype_bytes,
+        "boundary_bytes_padded": padded * hidden * dtype_bytes,
+        "deferred_frac": round(deferred / real, 4) if real else 0.0,
+    }
 
 
 def _ep_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, eps: EPSchedule,
@@ -348,8 +495,13 @@ def _ep_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, eps: EPSchedule,
         "eslot": eps.e_src_lslot,
         "edst": eps.e_dst,
         "emask": eps.e_mask,
-        "hwi": eps.hw_idx, "hwc": eps.hw_col,
-        "teslot": eps.t_eslot, "tcol": eps.t_col, "tmask": eps.t_mask,
+        "xsc": eps.x_send_col, "xsm": eps.x_send_mask,
+        "usc": eps.u_send_col, "usm": eps.u_send_mask,
+        "urh": eps.u_recv_hidx,
+        "dsc": eps.d_send_col, "dsm": eps.d_send_mask,
+        "drh": eps.d_recv_hidx, "drm": eps.d_recv_mask,
+        "teslot": eps.t_eslot, "tlcol": eps.t_lcol,
+        "tblk": eps.t_blk, "tmask": eps.t_mask,
     }
     return params_dir, fxs, ixs
 
@@ -358,60 +510,93 @@ def _ep_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, eps: EPSchedule,
 def _ep_wavefront(static, params_dir, fxs, ixs):
     """Sharded-state wavefront; returns OWN slices [Lyr, R*w, H].
 
-    static = (cfg, R, w, Hs, axis). The halo region is internal (copies of
-    other devices' slots) and never escapes: gradients of halo reads route
-    to the owners via the transpose psum_scatter in the backward, so
-    upstream consumers must only read the returned own region.
+    static = (cfg, R, w, Hs, axis, has_urgent, has_deferred). The halo
+    region is internal (copies of other devices' slots) and never escapes:
+    gradients of halo reads route to the owners via the mirrored
+    all_to_all in the backward, so upstream consumers must only read the
+    returned own region.
     """
-    cfg, R, w, Hs, axis = static
-    buf, _ = jax.lax.scan(_ep_fwd_step(static, params_dir),
-                          _ep_init(static, fxs), (fxs, ixs))
+    (buf, _), _ = jax.lax.scan(_ep_fwd_step(static, params_dir),
+                               _ep_init(static, fxs, ixs), (fxs, ixs))
+    cfg, R, w = static[0], static[1], static[2]
     return buf[:, :R * w, :]
 
 
-def _ep_init(static, fxs):
-    cfg, R, w, Hs, axis = static
-    return jnp.zeros((cfg.num_layers, R * w + Hs + 1, cfg.hidden_dim),
+def _ep_init(static, fxs, ixs):
+    cfg, R, w, Hs = static[0], static[1], static[2], static[3]
+    buf = jnp.zeros((cfg.num_layers, R * w + Hs + 1, cfg.hidden_dim),
+                    fxs["x"].dtype)
+    # deferred-exchange carry: last row's send block [Lyr, Dp, Bd, H]
+    dp, bd = ixs["dsc"].shape[-2], ixs["dsc"].shape[-1]
+    pend = jnp.zeros((cfg.num_layers, dp, bd, cfg.hidden_dim),
                      fxs["x"].dtype)
+    return buf, pend
+
+
+def _exchange(block, axis):
+    """all_to_all a [Lyr, Dp, B, H] per-peer block over the mesh axis."""
+    if jax.lax.axis_size(axis) == 1:
+        return block
+    return jax.lax.all_to_all(block, axis, split_axis=1, concat_axis=1)
 
 
 def _ep_fwd_step(static, params_dir):
-    cfg, R, w, Hs, axis = static
+    cfg, R, w, Hs, axis, has_u, has_d = static
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
 
-    def step(buf, xs):
+    def step(carry, xs):
+        buf, pend = carry
         fxs_l, ixs_l = xs
         lvl = ixs_l["lvl"]
+        # deliver the DEFERRED entries of the previous row (their first
+        # reader is >= this row + 1, so the wire can overlap this row's
+        # compute — the collective's result is consumed only by the halo
+        # write, not by this row's gather)
+        if has_d:
+            recv_d = _exchange(pend, axis)
+            # send side is mask-zeroed and pad hidx = Hs, so pad entries
+            # write zeros into the (always-zero) garbage slot
+            hidx = ixs_l["drh"].reshape(-1)
+            hw = recv_d.reshape(cfg.num_layers, -1, cfg.hidden_dim)
+            buf = buf.at[:, R * w + hidx, :].set(hw)
         vals = buf[:, ixs_l["eslot"], :]
         outs = _step_outs(cfg, params_dir, specs, vals, fxs_l, ixs_l)  # [L,w,H]
-        # boundary exchange: full row = concat of every device's slice
-        full = jax.lax.all_gather(outs, axis, axis=1)      # [L, D, w, H]
-        full = full.reshape(cfg.num_layers, -1, cfg.hidden_dim)  # [L, Kn, H]
         buf = jax.lax.dynamic_update_slice(buf, outs, (0, lvl * w, 0))
-        # halo entries sourced from this row (pad writes land in garbage)
-        hw = full[:, ixs_l["hwc"], :]                      # [L, Ws, H]
-        buf = buf.at[:, R * w + ixs_l["hwi"], :].set(hw)
-        return buf, None
+        # URGENT entries (read next row) exchanged synchronously
+        if has_u:
+            blk_u = outs[:, ixs_l["usc"], :]               # [L, Dp, Bu, H]
+            blk_u = blk_u * ixs_l["usm"][None, ..., None].astype(outs.dtype)
+            recv_u = _exchange(blk_u, axis)
+            hidx = ixs_l["urh"].reshape(-1)                 # pad = Hs
+            hw = recv_u.reshape(cfg.num_layers, -1, cfg.hidden_dim)
+            buf = buf.at[:, R * w + hidx, :].set(hw)
+        # stage this row's deferred block for the next step's exchange
+        if has_d:
+            pend = outs[:, ixs_l["dsc"], :]
+            pend = pend * ixs_l["dsm"][None, ..., None].astype(outs.dtype)
+        return (buf, pend), None
 
     return step
 
 
 def _ep_fwd(static, params_dir, fxs, ixs):
-    buf, _ = jax.lax.scan(_ep_fwd_step(static, params_dir),
-                          _ep_init(static, fxs), (fxs, ixs))
-    cfg, R, w, Hs, axis = static
+    (buf, _), _ = jax.lax.scan(_ep_fwd_step(static, params_dir),
+                               _ep_init(static, fxs, ixs), (fxs, ixs))
+    cfg, R, w = static[0], static[1], static[2]
     return buf[:, :R * w, :], (params_dir, fxs, ixs, buf)
 
 
 def _ep_bwd(static, res, g_own):
     """Reverse replay. g_own [Lyr, R*w, H] is the upstream cotangent of the
-    OWN region (readout). Edge grads into any slot are delivered to its
-    owner by a one-hot segment-sum over global columns + psum_scatter —
-    the transpose of the forward all_gather."""
-    cfg, R, w, Hs, axis = static
+    OWN region (readout). Per row, edge grads whose source is an OWN slot
+    accumulate locally; grads of HALO reads are summed per halo entry and
+    all_to_all'd back to the owners over the mirrored exchange plan —
+    boundary-only wire, the exact transpose of the forward."""
+    cfg, R, w, Hs, axis, has_u, has_d = static
     params_dir, fxs, ixs, buf_final = res
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
     ke_d = ixs["eslot"].shape[-1]
+    dp, bf = ixs["xsc"].shape[-2], ixs["xsc"].shape[-1]
 
     def bwd_step(carry, xs):
         acc, d_params = carry        # acc: [Lyr, R*Ke_d+1, H] edge grads
@@ -420,11 +605,20 @@ def _ep_bwd(static, res, g_own):
         vals = buf_final[:, ixs_l["eslot"], :]
         tg = acc[:, ixs_l["teslot"], :]                    # [Lyr, Kt, H]
         tg = jnp.where(ixs_l["tmask"][None, :, None], tg, 0)
-        kn = w * jax.lax.axis_size(axis)
-        oh = jax.nn.one_hot(ixs_l["tcol"], kn, dtype=tg.dtype)  # [Kt, Kn]
-        contrib = jnp.einsum("lkh,kn->lnh", tg, oh)        # [Lyr, Kn, H]
-        mine = jax.lax.psum_scatter(contrib, axis, scatter_dimension=1,
-                                    tiled=True)            # [Lyr, w, H]
+        # own-source edges: local one-hot segment sum into own cols
+        oh_own = jax.nn.one_hot(ixs_l["tlcol"], w, dtype=tg.dtype)
+        mine = jnp.einsum("lkh,kn->lnh", tg, oh_own)       # [Lyr, w, H]
+        # remote-source edges: per-halo-entry sums, returned to owners
+        oh_blk = jax.nn.one_hot(ixs_l["tblk"], dp * bf, dtype=tg.dtype)
+        blk_g = jnp.einsum("lkh,kb->lbh", tg, oh_blk).reshape(
+            cfg.num_layers, dp, bf, cfg.hidden_dim)
+        recv = _exchange(blk_g, axis)                      # grads for MY cols
+        recv = recv * ixs_l["xsm"][None, ..., None].astype(recv.dtype)
+        oh_back = jax.nn.one_hot(ixs_l["xsc"].reshape(-1), w,
+                                 dtype=recv.dtype)          # [Dp*Bf, w]
+        mine = mine + jnp.einsum(
+            "lbh,bn->lnh", recv.reshape(cfg.num_layers, -1, cfg.hidden_dim),
+            oh_back)
         g_l = jax.lax.dynamic_slice(
             g_own, (0, lvl * w, 0), (cfg.num_layers, w, cfg.hidden_dim))
         g_l = g_l + mine
@@ -433,9 +627,9 @@ def _ep_bwd(static, res, g_own):
             return _step_outs(cfg, p, specs, v, fl, ixs_l)
 
         _, vjp_fn = jax.vjp(f, params_dir, vals, fxs_l)
-        dp, dv, dfl = vjp_fn(g_l)
+        dp_, dv, dfl = vjp_fn(g_l)
         acc = jax.lax.dynamic_update_slice(acc, dv, (0, lvl * ke_d, 0))
-        d_params = jax.tree.map(jnp.add, d_params, dp)
+        d_params = jax.tree.map(jnp.add, d_params, dp_)
         return (acc, d_params), dfl
 
     acc0 = jnp.zeros((cfg.num_layers, R * ke_d + 1, cfg.hidden_dim),
@@ -461,7 +655,8 @@ def ep_node_states(params, cfg: DAGNNConfig, x, edge_attr, eps_dirs,
         pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
         eps, st = eps_dirs[di], statics[di]
         pdirc, fxs, ixs = _ep_streams(pdir, cfg, x, edge_attr, eps, st.rows)
-        own = _ep_wavefront((cfg, st.rows, st.own_w, st.halo, axis),
+        own = _ep_wavefront((cfg, st.rows, st.own_w, st.halo, axis,
+                             st.has_urgent, st.has_deferred),
                             pdirc, fxs, ixs)
         h_dirs.append(own)
         x_dirs.append(fxs["x"].reshape(st.rows * st.own_w, -1))

@@ -176,16 +176,11 @@ def test_ep_dp_two_axis_mesh():
         stacked.append((batch, (eps_f, eps_r), aux, (st_f, st_r)))
 
     # pin static widths so both groups compile to identical shapes
+    from dagnn_tpu.parallel.edge_partition import ep_widths_of
     widths = {}
-    for _, (ef, er), _, _ in stacked:
-        for eps in (ef, er):
-            widths["ke_d"] = max(widths.get("ke_d", 0), eps.e_dst.shape[-1])
-            widths["kt"] = max(widths.get("kt", 0), eps.t_col.shape[-1])
-            widths["ws"] = max(widths.get("ws", 0), eps.hw_col.shape[-1])
-    halo = 0
-    for b, _, _, (stf, str_) in stacked:
-        halo = max(halo, stf.halo, str_.halo)
-    widths["halo"] = halo
+    for _, (ef, er), _, (stf, str_) in stacked:
+        widths = ep_widths_of(ef, stf, widths)
+        widths = ep_widths_of(er, str_, widths)
     stacked2 = []
     for b, _, _, _ in stacked:
         ef, stf = partition_schedule_sharded(b.fwd, n_ep, widths=widths)
