@@ -95,6 +95,7 @@ int dag_stagger_offsets(const int64_t* level, const int64_t* node_graph,
     for (int64_t i = 0; i < n; ++i) {
         int64_t g = node_graph[i];
         if (g < 0 || g >= num_graphs) return -1;
+        if (level[i] < 0) return -1;  // would index profiles out of bounds
         if (level[i] + 1 > depth[g]) depth[g] = level[i] + 1;
     }
     int64_t max_d = 0, total_d = 0;
@@ -116,6 +117,7 @@ int dag_stagger_offsets(const int64_t* level, const int64_t* node_graph,
     if (edge_budget > 0) {
         for (int64_t j = 0; j < e; ++j) {
             int64_t t = edge_dst[j];
+            if (t < 0 || t >= n) return -1;  // mirror the numpy IndexError
             prof_e[start[node_graph[t]] + level[t]]++;
         }
     }

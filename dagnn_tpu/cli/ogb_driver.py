@@ -172,14 +172,17 @@ def load_dataset(args, task: str):
 def _split_and_convert(args, raws, split):
     train_idx = split["train"]
     if args.train_idx:
-        sub = code2.read_train_subset_idx(args.train_idx)
-        train_idx = train_idx[sub]  # main_pyg.py:216-219
+        # dataset-level indices REPLACE the train split (main_pyg.py:216-219)
+        train_idx = code2.read_train_subset_idx(args.train_idx)
     valid_idx, test_idx = split["valid"], split["test"]
+    # vocab reflects the (possibly --train_idx-restricted) train split —
+    # the reference replaces split_idx['train'] BEFORE get_vocab_mapping
+    # (main_pyg.py:216-223); the smoke shrink comes after (:225-229)
+    vocab2idx, idx2vocab = code2.get_vocab_mapping(
+        [raws[i]["y"] for i in train_idx], args.num_vocab)
     if args.smoke:  # main_pyg.py:225-229
         train_idx, valid_idx, test_idx = (
             train_idx[:50], valid_idx[:10], test_idx[:10])
-    vocab2idx, idx2vocab = code2.get_vocab_mapping(
-        [raws[i]["y"] for i in split["train"]], args.num_vocab)
     conv = lambda idxs: [code2.raw_to_dag(raws[i], vocab2idx, args.max_seq_len)
                          for i in idxs]
     tr, va, te = conv(train_idx), conv(valid_idx), conv(test_idx)

@@ -58,6 +58,13 @@ def parse_args(argv=None):
     p.add_argument("--enas-corpus", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "data",
         "final_structures6.txt.gz"))
+    p.add_argument("--scorer", default="surrogate",
+                   choices=["surrogate", "lookup"],
+                   help="ENAS arc scorer: corpus lookup + learned "
+                        "surrogate for unseen architectures (the "
+                        "reference's external Eval_NN is commented out "
+                        "upstream, bo.py:151-154; decoded candidates hit "
+                        "the 20k corpus ~never), or strict lookup-only")
     p.add_argument("--hs", type=int, default=501)
     p.add_argument("--nz", type=int, default=56)
     p.add_argument("--dagnn_layers", type=int, default=2)
@@ -113,10 +120,21 @@ def decode_from_latent(model_bundle, z, attempts, data_type, rng):
 
 def load_model(args):
     """Rebuild the trained VAE bundle (reference bo.py:184-209 re-parses
-    cmd_input.txt; here hyperparameters come from flags). Supports the
-    DAGNN-coupled VAEs and the base D-VAE family."""
+    cmd_input.txt; here hyperparameters come from flags).
+
+    Supports the DAGNN-coupled VAEs and the base D-VAE family — the models
+    whose decoders emit DAGs that the BO loop can validity-check and score.
+    SVAE* string decoders and the DVAE_GCN/fast/DeepGMG variants
+    (vae/svae.py, vae/dvae_variants.py) are latent-scored via the GP path
+    (no --bo) but are not rebuildable here; asking for BO with one raises.
+    """
     if not args.checkpoint:
         return None
+    known = ("DAGNN", "DVAE", "DVAE_BN")
+    if args.model not in known:
+        raise SystemExit(
+            f"--bo supports models {known}; {args.model!r} checkpoints can "
+            f"only be latent-scored (omit --bo)")
     from dagnn_tpu.train import checkpoint as ckpt
     from dagnn_tpu.train.optim import make_optimizer
     nvt = 8 if args.data_type == "ENAS" else 10
@@ -163,8 +181,18 @@ def main(argv=None):
             os.remove(f)
 
     model_bundle = load_model(args) if args.bo else None
-    scorer = (enas_lookup_scorer(args.enas_corpus) if args.data_type == "ENAS"
-              else None)
+    scorer = None
+    if args.data_type == "ENAS":
+        if args.scorer == "surrogate" and args.bo:
+            from dagnn_tpu.vae.enas_eval import EvalENAS
+            eva_enas = EvalENAS(args.enas_corpus)
+            print("ENAS scorer:", eva_enas.quality())
+            with open(os.path.join(args.res_dir, "scorer_quality.txt"),
+                      "w") as f:
+                f.write(eva_enas.quality() + "\n")
+            scorer = eva_enas.score
+        else:
+            scorer = enas_lookup_scorer(args.enas_corpus)
     eva = EvalBN() if args.data_type == "BN" else None
 
     for seed in range(args.seeds):

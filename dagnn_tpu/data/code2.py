@@ -163,8 +163,10 @@ def read_split(split_dir: str) -> Dict[str, np.ndarray]:
 
 def read_train_subset_idx(path: str) -> np.ndarray:
     """Subset index files (reference ogbg-code/dataset/train{10,15,20}.csv.gz,
-    consumed via --train_idx, main_pyg.py:216-219). Indices are positions
-    WITHIN the train split."""
+    consumed via --train_idx). These are DATASET-LEVEL indices: the
+    reference assigns them to split_idx['train'] wholesale
+    (main_pyg.py:216-219), it does not index into the existing train list
+    (verified: train15 holds 61,196 values in [3, 407,974])."""
     return _read_csv_gz(path, np.int64)[:, 0]
 
 

@@ -73,6 +73,13 @@ def download_and_extract(root: str, name: str = "ogbg-code2") -> str:
                 f"zip at {zpath} or the extracted raw/ + split/ dirs under "
                 f"{ddir}/ manually") from e
     with zipfile.ZipFile(zpath) as z:
+        # zip-slip guard: refuse members that would escape the root
+        # (absolute paths or ../ traversal in a corrupted/malicious zip)
+        rootabs = osp.realpath(root)
+        for m in z.namelist():
+            dest = osp.realpath(osp.join(root, m))
+            if dest != rootabs and not dest.startswith(rootabs + os.sep):
+                raise RuntimeError(f"unsafe zip member path: {m!r}")
         z.extractall(root)
     ext = osp.join(root, meta["download_name"])
     if osp.exists(ext) and ext != ddir:

@@ -16,11 +16,15 @@ import optax
 def tok_loss(logits: jnp.ndarray, y_arr: jnp.ndarray, graph_mask: jnp.ndarray):
     """logits [G, S, V]; y_arr [G, S] int targets; graph_mask [G].
 
-    Pad-slot CE is dropped with `where`, not multiplication: pad graphs can
-    carry non-finite logits (empty-readout -inf in bf16) and NaN * 0 = NaN
-    would poison the batch loss.
+    Double-where NaN safety: pad graphs can carry non-finite logits
+    (empty-readout -inf in bf16). Sanitizing the logits BEFORE the CE —
+    not only masking the CE after — keeps the backward clean too: the CE
+    VJP multiplies the (zero) cotangent by softmax(logits), and
+    0 * softmax(non-finite) = NaN would otherwise poison shared head
+    weights through the gradient.
     """
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y_arr)  # [G, S]
+    safe = jnp.where(graph_mask[:, None, None], logits, 0.0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(safe, y_arr)  # [G, S]
     per_graph = jnp.where(graph_mask, ce.mean(axis=-1), 0.0)
     m = graph_mask.astype(logits.dtype)
     return per_graph.sum() / jnp.maximum(m.sum(), 1.0)
@@ -28,7 +32,8 @@ def tok_loss(logits: jnp.ndarray, y_arr: jnp.ndarray, graph_mask: jnp.ndarray):
 
 def class_loss(logits: jnp.ndarray, y: jnp.ndarray, graph_mask: jnp.ndarray):
     """logits [G, C]; y [G] int; graph_mask [G]. NaN-safe like tok_loss."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    safe = jnp.where(graph_mask[:, None], logits, 0.0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(safe, y)
     ce = jnp.where(graph_mask, ce, 0.0)
     m = graph_mask.astype(logits.dtype)
     return ce.sum() / jnp.maximum(m.sum(), 1.0)

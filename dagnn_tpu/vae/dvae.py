@@ -508,68 +508,3 @@ def dvae_decode(dec, cfg: DVAEConfig, z, rng=None, stochastic=True,
     types, adj, nv = _decode_jit(dec, cfg, jnp.asarray(z), rng, stochastic,
                                  attn_params)
     return np.asarray(types), np.asarray(adj), np.asarray(nv)
-
-
-def dvae_decode_host(dec, cfg: DVAEConfig, z, rng=None, stochastic=True,
-                     attn_params=None):
-    """Host-driven reference implementation of `dvae_decode` (kept for
-    parity testing; the rng split order matches the jitted path exactly).
-    """
-    B = z.shape[0]
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    H0 = jnp.tanh(linear(dec["fc3"], z))
-    types = np.full((B, cfg.max_n), cfg.start_type, np.int32)
-    adj = np.zeros((B, cfg.max_n, cfg.max_n), np.float32)
-    nv = np.full(B, 1, np.int32)
-    finished = np.zeros(B, bool)
-
-    state = jnp.zeros((cfg.num_layers, B, cfg.max_n, cfg.hs), z.dtype)
-    types_oh = jax.nn.one_hot(jnp.asarray(types), cfg.nvt, dtype=z.dtype)
-    state = decoder_update_v(dec, cfg, state, types_oh, jnp.asarray(adj),
-                             jnp.asarray(nv), 0, H0=H0, attn_params=attn_params)
-
-    for idx in range(1, cfg.max_n):
-        if idx == cfg.max_n - 1:
-            new_types = np.full(B, cfg.end_type, np.int32)
-        else:
-            Hg = _graph_state(cfg, state, jnp.asarray(nv))
-            logits = _mlp2(dec["add_vertex"], Hg)
-            rng, k = jax.random.split(rng)
-            if stochastic:
-                new_types = np.asarray(jax.random.categorical(k, logits))
-            else:
-                new_types = np.asarray(jnp.argmax(logits, -1))
-        grow = ~finished
-        types[grow, idx] = new_types[grow]
-        nv[grow] = idx + 1
-        types_oh = jax.nn.one_hot(jnp.asarray(types), cfg.nvt, dtype=z.dtype)
-        state = decoder_update_v(dec, cfg, state, types_oh, jnp.asarray(adj),
-                                 jnp.asarray(nv), idx, attn_params=attn_params)
-
-        just_ended = grow & (new_types == cfg.end_type)
-        for b in np.flatnonzero(just_ended):
-            # connect loose ends to the END vertex (models_pyg.py:383-390)
-            outdeg = adj[b, :idx, :].sum(-1)
-            loose = np.flatnonzero(outdeg == 0)
-            adj[b, loose, idx] = 1.0
-            finished[b] = True
-        if just_ended.any():
-            state = decoder_update_v(dec, cfg, state, types_oh, jnp.asarray(adj),
-                                     jnp.asarray(nv), idx, attn_params=attn_params)
-
-        for vi in range(idx - 1, -1, -1):
-            Hvi = np.asarray(state[-1][:, vi])
-            H = np.asarray(state[-1][:, idx])
-            logits = _edge_score_logits(dec, cfg, jnp.asarray(Hvi), jnp.asarray(H), H0)
-            prob = np.asarray(jax.nn.sigmoid(logits))
-            rng, k = jax.random.split(rng)
-            if stochastic:
-                dec_bits = np.asarray(jax.random.uniform(k, prob.shape)) < prob
-            else:
-                dec_bits = prob > 0.5
-            add = dec_bits & ~finished & (nv > idx)
-            adj[add, vi, idx] = 1.0
-            state = decoder_update_v(dec, cfg, state, types_oh, jnp.asarray(adj),
-                                     jnp.asarray(nv), idx, attn_params=attn_params)
-    return types, adj, nv

@@ -108,6 +108,33 @@ def test_download_failure_message(tmp_path):
         c2d.download_and_extract(str(tmp_path / "nowhere"))
 
 
+def test_zip_placed_manually_is_sufficient(tmp_path):
+    """The offline hand-off (scripts/fetch_code2.md Option A): placing the
+    official zip at <root>/code2.zip must be enough — no network touched,
+    no code edits."""
+    src = tmp_path / "build" / "code2"
+    make_raw_tree(str(src), n_graphs=5, seed=7)
+    root = tmp_path / "dataset"
+    os.makedirs(root)
+    with zipfile.ZipFile(root / "code2.zip", "w") as z:
+        for dirp, _, files in os.walk(src):
+            for f in files:
+                full = os.path.join(dirp, f)
+                z.write(full, os.path.relpath(full, tmp_path / "build"))
+    ds = c2d.Code2Dataset(str(root))   # download=True, but zip pre-placed
+    assert len(ds) == 5
+
+
+def test_zip_slip_member_rejected(tmp_path):
+    root = tmp_path / "dataset"
+    os.makedirs(root)
+    with zipfile.ZipFile(root / "code2.zip", "w") as z:
+        z.writestr("../evil.txt", "pwn")
+    with pytest.raises(RuntimeError, match="unsafe zip member"):
+        c2d.download_and_extract(str(root))
+    assert not (tmp_path / "evil.txt").exists()
+
+
 def test_driver_smoke_fold_on_constructed_raw(tmp_path):
     """One smoke TOK fold of the real driver against a constructed dataset
     tree — the full real-data path (load -> vocab -> folds -> F1 CSV)."""

@@ -156,7 +156,7 @@ def test_decode_device_matches_host():
     """The jitted device-resident decode reproduces the host-driven loop
     bit-for-bit (identical rng split order), stochastic and greedy, for
     gated_sum and attention decoders."""
-    from dagnn_tpu.vae.dvae import dvae_decode_host
+    from oracle_dvae import dvae_decode_host
     for dec_agg, stoch in (("gated_sum", True), ("gated_sum", False),
                            ("attn", True)):
         cfg = DVAEConfig(max_n=8, nvt=8, hs=10, nz=4, vid=True,
