@@ -512,6 +512,37 @@ def _wavefront_bwd_fused(static, res, g):
 _wavefront.defvjp(_wavefront_fwd, _wavefront_bwd)
 
 
+@jax.custom_vjp
+def _perm_gather(src, idx, inv_idx, inv_valid):
+    """Gather src[idx] whose VJP is the INVERSE-permutation gather.
+
+    Legal when every row of src appears at most once in idx (true for the
+    node<->slot maps: each node owns exactly one slot per schedule). The
+    generic gather VJP is a scatter-add — ~2x slower than a gather on TPU
+    (v5e: 925us vs ~450us for the [41k, 300] stream); with a known inverse
+    the cotangent is just d_src = g[inv_idx] (masked where src rows do not
+    appear in idx).
+    """
+    return src[idx]
+
+
+def _perm_gather_fwd(src, idx, inv_idx, inv_valid):
+    return src[idx], (idx.shape, inv_idx, inv_valid, src.shape)
+
+
+def _perm_gather_bwd(res, g):
+    idx_shape, inv_idx, inv_valid, src_shape = res
+    flat = g.reshape((-1,) + tuple(src_shape[1:]))
+    d_src = jnp.where(inv_valid[:, None],
+                      flat[jnp.clip(inv_idx, 0, flat.shape[0] - 1)], 0)
+    zero = lambda shape: np.zeros(shape, jax.dtypes.float0)
+    return (d_src, zero(idx_shape), zero(inv_idx.shape),
+            zero(inv_valid.shape))
+
+
+_perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
+
+
 def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
     """Build one direction's (params, float-streams, int-streams) triple.
 
@@ -533,7 +564,9 @@ def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
             params_dir)
 
-    fxs = {"x": x[node_ids]}  # [L, Kn, emb]
+    nslot = jnp.asarray(sched.node_slot)
+    # node->slot stream: inverse-permutation VJP (see _perm_gather)
+    fxs = {"x": _perm_gather(x, node_ids, nslot, nslot < L * kn)}  # [L, Kn, emb]
     if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
         fxs["ea"] = jnp.asarray(edge_attr)[jnp.asarray(sched.edge_id)].astype(x.dtype)
     if cfg.agg_x or cfg.agg_attn_x:
@@ -589,7 +622,13 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
     # back to node space for readouts / VAE index arithmetic
     node_slot = jnp.asarray(sched.node_slot)
     if packed:
-        hn = h_flat[node_slot]  # [N+1, nl*H]
+        n_pad = sched.node_slot.shape[0] - 1
+        nid_flat = jnp.asarray(sched.node_ids).reshape(L * kn)
+        inv = jnp.concatenate(
+            [nid_flat, jnp.full((1,), n_pad, nid_flat.dtype)])
+        valid = jnp.concatenate(
+            [nid_flat != n_pad, jnp.zeros((1,), bool)])
+        hn = _perm_gather(h_flat, node_slot, inv, valid)  # [N+1, nl*H]
         n1 = hn.shape[0]
         return jnp.moveaxis(
             hn.reshape(n1, cfg.num_layers, cfg.hidden_dim), 1, 0)

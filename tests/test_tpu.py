@@ -142,3 +142,113 @@ def test_bf16_matches_f32_on_chip():
     scale = float(jnp.max(jnp.abs(o32))) + 1e-6
     rel = float(jnp.max(jnp.abs(o16 - o32))) / scale
     assert rel < 0.05, rel
+
+
+def test_bench_shaped_fused_backward_compiles():
+    """Compile + run smoke at the BENCH shapes (chunk 256 / edge budget
+    512 / emb 300 / bf16 / fused). The round-2 chunk-512 compile failure
+    and the scoped-VMEM fusion OOMs were only ever found by hand — this
+    pins the production configuration."""
+    _require_tpu()
+    import __graft_entry__ as ge
+    from dagnn_tpu.dag.batch import collate
+    from dagnn_tpu.data.synthetic import synthetic_ast_batch
+    from dagnn_tpu.nn.dagnn import dagnn_init, dagnn_forward
+    from dagnn_tpu.train.losses import tok_loss
+    cfg = ge._flagship_cfg()
+    graphs = synthetic_ast_batch(0, 48, mean_nodes=125)
+    batch = jax.tree.map(jnp.asarray, collate(graphs, ge._pad_for(graphs)))
+    params = dagnn_init(jax.random.PRNGKey(0), cfg)
+
+    def loss(p):
+        return tok_loss(dagnn_forward(p, cfg, batch),
+                        batch.y["y_arr"], batch.graph_mask)
+
+    l, g = jax.jit(lambda p: jax.value_and_grad(loss)(p))(params)
+    assert np.isfinite(float(l))
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+
+
+def test_bf16_grad_parity_bench_widths():
+    """Gradients at the production width (emb/hidden 300): bf16 fused vs
+    f32 dense must agree to bf16 tolerance, per parameter group."""
+    _require_tpu()
+    import __graft_entry__ as ge
+    from dagnn_tpu.dag.batch import collate
+    from dagnn_tpu.data.synthetic import synthetic_ast_batch
+    from dagnn_tpu.nn.dagnn import dagnn_init, dagnn_forward
+    cfg16 = ge._flagship_cfg()
+    cfg32 = dataclasses.replace(cfg16, compute_dtype="float32",
+                                segment_impl="dense")
+    graphs = synthetic_ast_batch(3, 16, mean_nodes=60)
+    batch = jax.tree.map(jnp.asarray, collate(graphs, ge._pad_for(graphs)))
+    params = dagnn_init(jax.random.PRNGKey(0), cfg16)
+
+    def loss(p, c):
+        out = dagnn_forward(p, c, batch)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g32 = jax.jit(lambda p: jax.grad(loss)(p, cfg32))(params)
+    g16 = jax.jit(lambda p: jax.grad(loss)(p, cfg16))(params)
+    for key in g32:
+        s = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree.leaves(g32[key])) + 1e-8
+        err = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                        - b.astype(jnp.float32)))) / s
+                  for a, b in zip(jax.tree.leaves(g32[key]),
+                                  jax.tree.leaves(g16[key])))
+        assert err < 0.08, (key, err)
+
+
+def test_ep_train_step_single_device_on_chip():
+    """Sharded-state EP training on the chip's one device (D=1 exercises
+    the Mosaic/XLA lowering of the exchange plans, the one-hot transpose
+    return, and the halo-buffer dataflow without needing a real mesh)."""
+    _require_tpu()
+    from dagnn_tpu.dag.batch import PadConfig, collate
+    from dagnn_tpu.data.synthetic import synthetic_ast_batch
+    from dagnn_tpu.nn.dagnn import dagnn_init, dagnn_forward
+    from dagnn_tpu.parallel.edge_partition import (
+        partition_schedule_sharded, ep_readout_aux, make_ep_train_step)
+    from dagnn_tpu.parallel.mesh import make_mesh
+    from dagnn_tpu.train.losses import tok_loss
+    from dagnn_tpu.train.optim import make_optimizer
+    cfg, params, _ = _setup(compute_dtype="bfloat16")
+    graphs = synthetic_ast_batch(1, 8, mean_nodes=24, vocab=52,
+                                 num_attrs=1000)
+    pad = PadConfig.for_graphs(graphs, chunk_size=16)
+    batch = collate(graphs, pad)
+    eps_f, st_f = partition_schedule_sharded(batch.fwd, 1)
+    eps_r, st_r = partition_schedule_sharded(batch.rev, 1)
+    aux = ep_readout_aux(batch, (eps_f, eps_r), cfg)
+    mesh = make_mesh(1, ("ep",))
+
+    def loss_head(logits, y, gmask):
+        return tok_loss(logits, y["y_arr"], gmask)
+
+    opt = make_optimizer(lr=1e-3, clip=0.25)
+    step = make_ep_train_step(cfg, mesh, (st_f, st_r), loss_head, opt)
+    _, _, loss = step(params, opt.init(params), jnp.asarray(batch.x),
+                      jnp.asarray(batch.edge_attr),
+                      jax.tree.map(jnp.asarray, (eps_f, eps_r)),
+                      jax.tree.map(jnp.asarray, aux),
+                      jax.tree.map(jnp.asarray, batch.y),
+                      jnp.asarray(batch.graph_mask))
+    ref = float(loss_head(dagnn_forward(params, cfg, batch), batch.y,
+                          batch.graph_mask))
+    assert abs(float(loss) - ref) / (abs(ref) + 1e-6) < 0.02, (float(loss), ref)
+
+
+def test_gather_readout_matches_segment_pool_on_chip():
+    """out_slots gather readout vs segment pooling under compiled TPU
+    lowering (the gather path is the production readout)."""
+    _require_tpu()
+    from dagnn_tpu.nn.dagnn import dagnn_forward
+    cfg, params, batch = _setup(segment_impl="fused",
+                                compute_dtype="bfloat16")
+    out_g = jax.jit(lambda p: dagnn_forward(p, cfg, batch))(params)
+    stripped = batch._replace(out_slots_fwd=None, out_slots_mask_fwd=None,
+                              out_slots_rev=None, out_slots_mask_rev=None)
+    out_s = jax.jit(lambda p: dagnn_forward(p, cfg, stripped))(params)
+    scale = float(jnp.max(jnp.abs(out_s))) + 1e-6
+    assert float(jnp.max(jnp.abs(out_g - out_s))) / scale < 5e-3
