@@ -532,6 +532,11 @@ def _perm_gather_fwd(src, idx, inv_idx, inv_valid):
 
 def _perm_gather_bwd(res, g):
     idx_shape, inv_idx, inv_valid, src_shape = res
+    # barrier: the cotangent is a scan ys buffer; without the barrier XLA
+    # fuses the in-loop dynamic-update-slice producing it INTO the pallas
+    # custom-call once this gather (rather than the old scatter-add)
+    # consumes it, stack-allocating the whole stream in scoped VMEM
+    g = jax.lax.optimization_barrier(g)
     flat = g.reshape((-1,) + tuple(src_shape[1:]))
     d_src = jnp.where(inv_valid[:, None],
                       flat[jnp.clip(inv_idx, 0, flat.shape[0] - 1)], 0)
@@ -564,9 +569,13 @@ def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
             params_dir)
 
-    nslot = jnp.asarray(sched.node_slot)
-    # node->slot stream: inverse-permutation VJP (see _perm_gather)
-    fxs = {"x": _perm_gather(x, node_ids, nslot, nslot < L * kn)}  # [L, Kn, emb]
+    # NOTE: the x-stream gather deliberately keeps the default scatter-add
+    # VJP. Routing it through _perm_gather was A/B'd on v5e: the inverse
+    # gather itself is ~2x faster than the scatter, but its consumer shape
+    # makes XLA fuse the backward scan's ys dynamic-update-slice into the
+    # pallas call (scoped-VMEM overflow), and the barrier that prevents
+    # that costs more than the gather saves (1.015M vs 1.12M edges/s).
+    fxs = {"x": x[node_ids]}  # [L, Kn, emb]
     if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
         fxs["ea"] = jnp.asarray(edge_attr)[jnp.asarray(sched.edge_id)].astype(x.dtype)
     if cfg.agg_x or cfg.agg_attn_x:
