@@ -72,7 +72,8 @@ def _roofline(cfg, batch, dt, n_params):
     fwd_exec = gru_flops(L * Kn) + attn_flops(L * Ke) + p_mm + head
     tg_mm = L * dirs * 2 * Kt * Kn * nl * H
     model = 3 * fwd_useful                      # fwd + 2x analytic bwd
-    execd = 4 * fwd_exec + tg_mm                # + in-kernel fwd recompute
+    # executed: no backward recompute (residuals stream from the forward)
+    execd = 3 * fwd_exec + tg_mm
 
     bpe = 2  # bf16
     streams = L * Kn * E_dim * bpe * dirs       # x stream

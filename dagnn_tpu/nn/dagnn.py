@@ -347,12 +347,17 @@ def _fwd_step(static, params_dir, with_vals: bool = False):
             from dagnn_tpu.ops.pallas.row_step import fused_row_forward
             vals = h[ixs["eslot"]]  # [Ke, nl*H] layer-packed
             st = _fused_static(cfg, fxs)
-            outs = fused_row_forward(
+            out = fused_row_forward(
                 st, jax.default_backend() != "tpu",
                 fxs["x"], vals, fxs.get("ea") if st[0] else None,
                 ixs["edst"], ixs["emask"], ixs["nmask"],
-                _fused_weights(cfg, params_dir, st[0]))
-            h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
+                _fused_weights(cfg, params_dir, st[0]),
+                emit_res=with_vals)
+            if with_vals:
+                outs, *res = out
+                h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
+                return h, (vals, tuple(res))
+            h = jax.lax.dynamic_update_slice(h, out, (offset, 0))
         else:
             vals = _gather_vals(cfg, h, ixs["eslot"])
             outs = _step_outs(cfg, params_dir, specs, vals, fxs, ixs)
@@ -365,13 +370,14 @@ def _fwd_step(static, params_dir, with_vals: bool = False):
 def _wavefront_fwd(static, params_dir, fxs, ixs):
     cfg = static[0]
     if _fused_applicable(cfg) and "teslot" in ixs:
-        # stream the per-row gathered predecessor states to the backward
-        # (costs one extra HBM write of ~[L, Ke, nl*H]; saves the backward
-        # scan's per-row re-gather, which is 2x the write cost)
-        h, vals_s = jax.lax.scan(
+        # stream the per-row gathered predecessor states AND the kernel
+        # residuals to the backward (one extra HBM write of ~[L, Ke+5Kn,
+        # nl*H]; saves the backward scan's per-row re-gather — 2x the
+        # write cost — and its entire in-kernel forward recompute)
+        h, (vals_s, res_s) = jax.lax.scan(
             _fwd_step(static, params_dir, with_vals=True),
             _init_h(static, fxs), (fxs, ixs))
-        return h, (params_dir, fxs, ixs, vals_s)
+        return h, (params_dir, fxs, ixs, (vals_s, res_s))
     h = _wavefront(static, params_dir, fxs, ixs)
     return h, (params_dir, fxs, ixs, h)
 
@@ -453,7 +459,7 @@ def _wavefront_bwd_fused(static, res, g):
     schedule gather from the contiguous edge-grad buffer."""
     from dagnn_tpu.ops.pallas.row_step import unflatten_row_weight_grads
     cfg, L, kn = static
-    params_dir, fxs, ixs, vals_s = res
+    params_dir, fxs, ixs, (vals_s, res_s) = res
     st = _fused_static(cfg, fxs)
     has_ea = st[0]
     weights = _fused_weights(cfg, params_dir, has_ea)
@@ -464,7 +470,7 @@ def _wavefront_bwd_fused(static, res, g):
     def bwd_step(carry, xs):
         from dagnn_tpu.ops.pallas.row_step import fused_row_backward
         acc, dw_acc = carry
-        fxs_l, ixs_l, g_out, vals = xs
+        fxs_l, ixs_l, g_out, vals, res_l = xs
         lvl = ixs_l["lvl"]
         tg = acc[ixs_l["teslot"]]            # [Kt, nl*H]; pad slot is zero
         # barrier: without it XLA fuses this gather (whose source is the
@@ -475,7 +481,7 @@ def _wavefront_bwd_fused(static, res, g):
             st, interp, fxs_l["x"], vals,
             fxs_l.get("ea") if has_ea else None,
             ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
-            g_out, tg, ixs_l["tdst"], ixs_l["tmask"])
+            g_out, tg, ixs_l["tdst"], ixs_l["tmask"], res=res_l)
         dvals = jax.lax.optimization_barrier(dvals)
         acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * ke, 0))
         dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
@@ -497,7 +503,8 @@ def _wavefront_bwd_fused(static, res, g):
     dw0 = {n: jnp.zeros_like(weights[n])
            for n in _row_names(cfg.num_layers, has_ea)}
     (_, dw_total), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s), reverse=True)
+        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s, res_s),
+        reverse=True)
     d_params = unflatten_row_weight_grads(dw_total, cfg.num_layers, has_ea)
     if not has_ea:
         # structural zeros for edge-encoder params absent from the kernel

@@ -254,11 +254,14 @@ def _call_kw(interpret):
 # ----------------------------------------------------------------- kernels
 
 def _row_fwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers = static
+    has_ea, hdim, nlayers, emit_res = static
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
-    wref = _DictRefs(names, rest[:-1])
-    out_ref = rest[-1]
+    n_out = 4 if emit_res else 1
+    wref = _DictRefs(names, rest[:-n_out])
+    out_ref = rest[-n_out]
+    if emit_res:
+        kall_ref, a32_ref, nres_ref = rest[-3:]
     ea = ea_ref[:] if has_ea else None
     emask = emask_ref[:]
     kn = xin_ref.shape[0]
@@ -269,30 +272,44 @@ def _row_fwd_kernel(static, names, refs):
     for l in range(nlayers):
         aggp = {k: wref[f"a{l}_{k}"][:] for k in agg_keys(has_ea)}
         cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
-        out, _ = _layer_fwd(aggp, cellp, cur, q,
-                            vals_ref[:, l * hdim:(l + 1) * hdim], ea, P, Pm,
-                            emask, nmask, hdim)
+        out, res = _layer_fwd(aggp, cellp, cur, q,
+                              vals_ref[:, l * hdim:(l + 1) * hdim], ea, P, Pm,
+                              emask, nmask, hdim)
         out = out.astype(out_ref.dtype)
         out_ref[:, l * hdim:(l + 1) * hdim] = out
+        if emit_res:
+            # stream the backward's residuals (see fused_row_backward):
+            # k / alpha32 per edge, (agg, r, z, n, h_n) per slot
+            k_l, _alpha, alpha32, agg, r, z, n, h_n = res
+            kall_ref[:, l * hdim:(l + 1) * hdim] = k_l.astype(kall_ref.dtype)
+            a32_ref[:, l:l + 1] = alpha32
+            for i, t in enumerate((agg, r, z, n, h_n)):
+                col = (5 * l + i) * hdim
+                nres_ref[:, col:col + hdim] = t.astype(nres_ref.dtype)
         cur = out
         q = out
 
 
 def _row_bwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers, merge_tg = static
+    has_ea, hdim, nlayers, merge_tg, use_res = static
     in_names, out_names = names
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
     nw = len(in_names)
     wref = _DictRefs(in_names, rest[:nw])
+    pos = nw
+    res_refs = None
+    if use_res:
+        res_refs = rest[pos:pos + 3]
+        pos += 3
     if merge_tg:
-        g_ref, tg_ref, tdst_ref, tmask_ref = rest[nw:nw + 4]
-        dx_ref, dvals_ref, dea_ref = rest[nw + 4:nw + 7]
-        dwrefs = _DictRefs(out_names, rest[nw + 7:])
+        g_ref, tg_ref, tdst_ref, tmask_ref = rest[pos:pos + 4]
+        pos += 4
     else:
-        g_ref = rest[nw]
-        dx_ref, dvals_ref, dea_ref = rest[nw + 1:nw + 4]
-        dwrefs = _DictRefs(out_names, rest[nw + 4:])
+        g_ref = rest[pos]
+        pos += 1
+    dx_ref, dvals_ref, dea_ref = rest[pos:pos + 3]
+    dwrefs = _DictRefs(out_names, rest[pos + 3:])
 
     ea = ea_ref[:] if has_ea else None
     emask = emask_ref[:]
@@ -316,24 +333,48 @@ def _row_bwd_kernel(static, names, refs):
             for l in range(nlayers)
         ]
 
-    # forward recompute (residuals per layer stay in VMEM)
     cur = xin_ref[:]
     q = cur
     curs, qs, resids, aggps, cellps = [], [], [], [], []
-    for l in range(nlayers):
-        aggp = {k: wref[f"a{l}_{k}"][:] for k in agg_keys(has_ea, rows=True)}
-        cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
-        curs.append(cur)
-        qs.append(q)
-        out, res = _layer_fwd(aggp, cellp, cur, q,
-                              vals_ref[:, l * hdim:(l + 1) * hdim], ea, P, Pm,
-                              emask, nmask, hdim)
-        out = out.astype(dt)
-        resids.append(res)
-        aggps.append(aggp)
-        cellps.append(cellp)
-        cur = out
-        q = out
+    if use_res:
+        # residuals streamed from the forward kernel: no recompute; the
+        # layer outputs (cur/q chain) reconstruct from the GRU pieces
+        kall_ref, a32_ref, nres_ref = res_refs
+        for l in range(nlayers):
+            aggps.append({k: wref[f"a{l}_{k}"][:]
+                          for k in agg_keys(has_ea, rows=True)})
+            cellps.append({k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS})
+            curs.append(cur)
+            qs.append(q)
+            k_l = kall_ref[:, l * hdim:(l + 1) * hdim]
+            alpha32 = a32_ref[:, l:l + 1]
+            parts = [nres_ref[:, (5 * l + i) * hdim:(5 * l + i + 1) * hdim]
+                     for i in range(5)]
+            agg, r, z, n, h_n = parts
+            resids.append((k_l, alpha32.astype(dt), alpha32, agg,
+                           r, z, n, h_n))
+            out = (((1.0 - z.astype(_F32)) * n.astype(_F32)
+                    + z.astype(_F32) * agg.astype(_F32))
+                   * nmask).astype(dt)
+            cur = out
+            q = out
+    else:
+        # forward recompute (residuals per layer stay in VMEM)
+        for l in range(nlayers):
+            aggp = {k: wref[f"a{l}_{k}"][:]
+                    for k in agg_keys(has_ea, rows=True)}
+            cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
+            curs.append(cur)
+            qs.append(q)
+            out, res = _layer_fwd(aggp, cellp, cur, q,
+                                  vals_ref[:, l * hdim:(l + 1) * hdim],
+                                  ea, P, Pm, emask, nmask, hdim)
+            out = out.astype(dt)
+            resids.append(res)
+            aggps.append(aggp)
+            cellps.append(cellp)
+            cur = out
+            q = out
 
     dea_acc = jnp.zeros(dea_ref.shape, _F32) if has_ea else None
     g_next = None  # d(out_l) arriving from layer l+1 (via its cur and q)
@@ -369,25 +410,37 @@ def _row_bwd_kernel(static, names, refs):
 # ------------------------------------------------------------ entry points
 
 def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
-                      weights):
+                      weights, emit_res: bool = False):
     """Whole-row fused forward. vals [Ke, L*H] layer-packed; returns outs
     [Kn, L*H] (layer l in columns l*H:(l+1)*H).
 
     static = (has_ea, hidden_dim, num_layers). `weights` is the ordered
-    dict from flatten_row_weights."""
+    dict from flatten_row_weights. With emit_res=True additionally returns
+    the backward residual streams (k_all [Ke, L*H], alpha32 [Ke, L] f32,
+    nres [Kn, 5*L*H]: agg/r/z/n/h_n per layer) so fused_row_backward can
+    skip its in-kernel forward recompute."""
     has_ea, hdim, nlayers = static
     names = _names(nlayers, has_ea)
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     kn = xin.shape[0]
+    ke = vals.shape[0]
 
     def kernel(*refs):
-        _row_fwd_kernel((has_ea, hdim, nlayers), names, refs)
+        _row_fwd_kernel((has_ea, hdim, nlayers, emit_res), names, refs)
 
+    out_shape = jax.ShapeDtypeStruct((kn, nlayers * hdim), xin.dtype)
+    if emit_res:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((ke, nlayers * hdim), xin.dtype),
+                     jax.ShapeDtypeStruct((ke, nlayers), _F32),
+                     jax.ShapeDtypeStruct((kn, 5 * nlayers * hdim),
+                                          xin.dtype))
     fn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((kn, nlayers * hdim), xin.dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(names)),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4)
+                   if emit_res else pl.BlockSpec(memory_space=pltpu.VMEM)),
         **_call_kw(interpret),
     )
     return fn(*args, *[weights[n] for n in names])
@@ -421,7 +474,8 @@ def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
 
 
 def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
-                       weights, g, tg, tdst, tmask, merge_tg=True):
+                       weights, g, tg, tdst, tmask, merge_tg=True,
+                       res=None):
     """Whole-row fused backward — ONE pallas call by default (the
     transpose-edge-grad segment sum rides inside, merge_tg=True; set
     DAGNN_TPU_SPLIT_TG=1 or merge_tg=False for the two-call form if a
@@ -431,17 +485,22 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     tg    [Kt, L*H] edge grads flowing into this row (caller-gathered
           from the contiguous edge-grad buffer; garbage slots zero)
     tdst  [Kt] local source slot of each transpose edge (pad = Kn)
+    res   optional (k_all, alpha32, nres) residual streams from
+          fused_row_forward(emit_res=True) — skips the in-kernel forward
+          recompute.
     Returns (dx [Kn, emb], dvals [Ke, L*H], dea or None, dw flat dict).
     """
     import os
     if os.environ.get("DAGNN_TPU_SPLIT_TG"):
         merge_tg = False
     has_ea, hdim, nlayers = static
+    use_res = res is not None
     in_names = _names(nlayers, has_ea, rows=True)   # incl. row-form copies
     out_names = _names(nlayers, has_ea)             # grad'able weights only
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     ea2 = args[2]
     kn = xin.shape[0]
+    res_args = tuple(res) if use_res else ()
     if merge_tg:
         kt = tdst.shape[0]
         g_args = (g, tg,
@@ -458,19 +517,19 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
            for n in out_names])
 
     def kernel(*refs):
-        _row_bwd_kernel((has_ea, hdim, nlayers, merge_tg),
+        _row_bwd_kernel((has_ea, hdim, nlayers, merge_tg, use_res),
                         (in_names, out_names), refs)
 
     fn = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (6 + len(in_names) + len(g_args)),
+        * (6 + len(in_names) + len(res_args) + len(g_args)),
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)]
                         * (3 + len(out_names))),
         **_call_kw(interpret),
     )
-    outs = fn(*args, *[weights[n] for n in in_names], *g_args)
+    outs = fn(*args, *[weights[n] for n in in_names], *res_args, *g_args)
     dx, dvals, dea = outs[0], outs[1], outs[2]
     dw = dict(zip(out_names, outs[3:]))
     return dx, dvals, (dea if has_ea else None), dw
