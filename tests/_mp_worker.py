@@ -83,11 +83,9 @@ for pass_i in range(2):
             b.rev, n_ep, widths=widths if pass_i else None)
         scheds.append((ef, er, stf, str_))
         if not pass_i:
+            from dagnn_tpu.parallel.edge_partition import ep_widths_of
             for eps, st in ((ef, stf), (er, str_)):
-                widths["ke_d"] = max(widths.get("ke_d", 0), eps.e_dst.shape[-1])
-                widths["kt"] = max(widths.get("kt", 0), eps.t_col.shape[-1])
-                widths["ws"] = max(widths.get("ws", 0), eps.hw_col.shape[-1])
-                widths["halo"] = max(widths.get("halo", 0), st.halo)
+                widths.update(ep_widths_of(eps, st, widths))
 
 auxes = [ep_readout_aux(b, (ef, er), cfg)
          for b, (ef, er, _, _) in zip(groups, scheds)]
