@@ -294,6 +294,13 @@ def run(args, task: str):
             schedules=is_dagnn)
         valid_loader = mk_loader(valid, False, 0)
         test_loader = mk_loader(test, False, 0)
+        # DELIBERATE deviation: the reference evaluates train F1 over the
+        # FULL train loader every epoch (main_pyg.py:321) — at 408k graphs
+        # that dwarfs the training step itself. The train column here is a
+        # fixed 4x-valid-sized subset (same graphs every epoch, so the
+        # curve is comparable epoch-to-epoch); valid/test are evaluated in
+        # full, and early stopping/model selection use valid only, exactly
+        # like the reference.
         train_eval_loader = mk_loader(train[: len(valid) * 4], False, 0)
 
         prev_ckpt = None
