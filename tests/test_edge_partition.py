@@ -209,3 +209,78 @@ def test_ep_dp_two_axis_mesh():
                       jnp.asarray(gm_stack))
     expect = float(np.mean(group_losses))
     assert abs(float(loss) - expect) < 1e-4, (float(loss), expect)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-exchange lanes: deterministic urgent (span-1) / deferred (span>=2)
+# ---------------------------------------------------------------------------
+
+def _layered_graph(n_levels, half, long_skip=0):
+    """Layered DAG, width = 2*half per level, one scan row per level
+    (chunk_size == width, single graph). 'Spine' columns [0, half) feed
+    all of level l+1 — every spine slot is read one row later (URGENT
+    halo entries). With long_skip > 1, 'long' columns [half, 2*half) are
+    read ONLY by level l+long_skip's long columns — their halo entries
+    span long_skip rows (DEFERRED); their level stays l via a spine
+    in-edge."""
+    from dagnn_tpu.dag.batch import DAGGraph
+    width = 2 * half
+    n = n_levels * width
+    src, dst = [], []
+    for l in range(n_levels - 1):
+        for a in range(half):                 # spine -> whole next level
+            for b in range(width):
+                src.append(l * width + a)
+                dst.append((l + 1) * width + b)
+    if long_skip > 1:
+        for l in range(n_levels - long_skip):
+            for a in range(half, width):      # long -> long, skip rows
+                for b in range(half, width):
+                    src.append(l * width + a)
+                    dst.append((l + long_skip) * width + b)
+    rng = np.random.default_rng(0)
+    ea = np.eye(2, dtype=np.float32)[rng.integers(0, 2, len(src))]
+    return DAGGraph(num_nodes=n, edge_src=np.array(src),
+                    edge_dst=np.array(dst), edge_attr=ea,
+                    x=rng.normal(size=(n, 8)).astype(np.float32),
+                    y={"y_arr": rng.integers(0, 7, 2)})
+
+
+@pytest.mark.parametrize("long_skip,expect_deferred", [(0, False),
+                                                       (3, True)])
+def test_exchange_lane_classification_and_parity(long_skip, expect_deferred):
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    g = _layered_graph(6, n_dev, long_skip)
+    pad = PadConfig.for_graphs([g], chunk_size=2 * n_dev)
+    batch = collate([g], pad)
+    eps_f, st_f = partition_schedule_sharded(batch.fwd, n_dev)
+    # span-1 edges cross devices (all-to-all layers) -> urgent entries
+    assert st_f.has_urgent and int(eps_f.u_send_mask.sum()) > 0
+    d_cnt = int(eps_f.d_send_mask.sum())
+    assert (d_cnt > 0) == expect_deferred, d_cnt
+
+    cfg = DAGNNConfig(num_vocab=7, max_seq_len=2, emb_dim=8, hidden_dim=8,
+                      num_rels=2, num_layers=2, bidirectional=True,
+                      agg="attn_h", out_pool="max",
+                      encoder=EncoderSpec("identity", emb_dim=8))
+    params = dagnn_init(jax.random.PRNGKey(1), cfg)
+
+    def loss_head(logits, y, gmask):
+        return tok_loss(logits, y["y_arr"], gmask)
+
+    ref = float(loss_head(dagnn_forward(params, cfg, batch), batch.y,
+                          batch.graph_mask))
+    eps_r, st_r = partition_schedule_sharded(batch.rev, n_dev)
+    aux = ep_readout_aux(batch, (eps_f, eps_r), cfg)
+    mesh = make_mesh(n_dev, ("ep",))
+    opt = make_optimizer(lr=1e-2, clip=0.25)
+    step = make_ep_train_step(cfg, mesh, (st_f, st_r), loss_head, opt)
+    _, _, loss = step(params, opt.init(params), jnp.asarray(batch.x),
+                      jnp.asarray(batch.edge_attr),
+                      jax.tree.map(jnp.asarray, (eps_f, eps_r)),
+                      jax.tree.map(jnp.asarray, aux),
+                      jax.tree.map(jnp.asarray, batch.y),
+                      jnp.asarray(batch.graph_mask))
+    assert abs(float(loss) - ref) < 1e-4, (float(loss), ref)
