@@ -21,7 +21,10 @@ accumulation in-kernel: the per-edge gradients flowing into this row's
 outputs (tg, gathered from the contiguous edge-grad buffer by the caller)
 are segment-summed over local source slots as a one-hot MXU matmul —
 XLA lowers the equivalent one-hot einsum to a scatter (~40us/row measured
-on v5e); here it is a ~1us matmul.
+on v5e); here it is a ~1us matmul. When the forward ran with
+emit_res=True (the training path), the backward consumes the streamed
+residuals and skips its in-kernel forward recompute entirely (v5e:
+25.7 -> 17.9 us/row at the bench shape).
 
 All matmuls use `dot_general` in Mosaic-supported orientations (NN / NT /
 TN over 2-D operands; the score vectors travel column-form because NT
