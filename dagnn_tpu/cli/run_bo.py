@@ -53,8 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--sample-dist", default="normal")
     p.add_argument("--refine-iters", type=int, default=50,
                    help="EI gradient-refinement steps; 0 keeps candidates "
-                        "on the sampled grid (on-manifold latents decode "
-                        "to valid graphs far more often)")
+                        "on the sampled grid. A/B on the committed ENAS "
+                        "run (results/bo_enas_bo vs _refine50): refined "
+                        "candidates decode 50/50 valid and score HIGHER "
+                        "(best 0.7502 = corpus max, vs 0.7496; per-round "
+                        "mean 0.7477 vs 0.7468) — 50 is the justified "
+                        "default")
     p.add_argument("--enas-corpus", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "data",
         "final_structures6.txt.gz"))
