@@ -206,13 +206,23 @@ def load_bn(
 
 
 def synthetic_bn_rows(num: int, n: int = 8, n_types: int = 8, seed: int = 0,
-                      edge_p: float = 0.35) -> List[str]:
+                      edge_p: float = 0.35, score: bool = True) -> List[str]:
     """Generate a synthetic BN corpus in the reference text format, for use
     when the original asia_200k.txt blob is unavailable. Each row permutes
     the `n_types` variable types (BN validity requires each type exactly
     once, dvae/util.py:634-649) over a random upper-triangular structure.
+
+    score=True (default) computes each structure's REAL BIC against the
+    sampled Asia dataset (vae/bn_score.py — the reference scores via an
+    external R/bnlearn script, evaluate_BN.py:15-21), so the y column
+    carries actual structure->score signal for latent-space evaluation
+    and BO; score=False emits fast placeholder noise (unit tests only).
     """
     rng = np.random.default_rng(seed)
+    eva = None
+    if score:
+        from dagnn_tpu.vae.bn_score import EvalBN
+        eva = EvalBN(seed=seed)
     rows = []
     for _ in range(num):
         perm = rng.permutation(n_types)[:n]
@@ -220,7 +230,11 @@ def synthetic_bn_rows(num: int, n: int = 8, n_types: int = 8, seed: int = 0,
         for i in range(n):
             flags = (rng.random(i) < edge_p).astype(int).tolist()
             row.append([int(perm[i])] + flags)
-        y = float(rng.normal(-12000.0, 500.0))  # BIC-score-like target
+        if eva is not None:
+            g = parse_bn_row(str(row))
+            y = float(eva.eval(graph_to_bn_adj_str(g)))
+        else:
+            y = float(rng.normal(-12000.0, 500.0))
         rows.append(f"{row}, {y}")
     return rows
 
