@@ -78,6 +78,18 @@ class DAGNNConfig:
     # segment-op implementation: "dense" (one-hot MXU matmuls, scatter-free)
     # or "scatter" (jax.ops.segment_*, the semantics reference)
     segment_impl: str = "dense"
+    # The canonical reference shares ONE forward-flow AggConv across both
+    # directions for agg add/max (dagnn.py:74-75, AggConv default
+    # reverse=False): in the reverse pass the level's edges (source in
+    # level) aggregate into their TARGETS, and indexing `[layer]` reads
+    # rows that received nothing — the reverse aggregation is a structural
+    # no-op upstream (ps_h == 0 at every level). True reproduces that
+    # behavior (golden-tested against the actual reference model through
+    # tests/pyg_shim.py); False applies the evidently intended reverse
+    # aggregation. The dvae copies fix the bug upstream
+    # (dvae/dagnn.py:67-70 builds a separate reverse=True conv), so VAE
+    # couplings construct with False.
+    ref_shared_agg_quirk: bool = True
     # wavefront compute dtype: "float32" (parity) or "bfloat16" (MXU-native;
     # params stay f32, states/matmuls run bf16, softmax internals f32)
     compute_dtype: str = "float32"
@@ -162,6 +174,12 @@ class DAGNNConfig:
     def shared_aggregator(self) -> bool:
         # plain add/max share ONE conv across layers and directions (dagnn.py:74-75)
         return self.agg in (NA_SUM, NA_MAX)
+
+    @property
+    def reverse_agg_noop(self) -> bool:
+        """True when the reverse pass aggregates nothing (see
+        ref_shared_agg_quirk): shared add/max conv with forward flow."""
+        return self.shared_aggregator and self.ref_shared_agg_quirk
 
 
 def dagnn_init(key, cfg: DAGNNConfig, dtype=jnp.float32) -> Dict[str, Any]:
@@ -611,7 +629,7 @@ def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
 
 
 def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
-                    slot_space: bool = False):
+                    slot_space: bool = False, kill_edges: bool = False):
     """Run the wavefront pass for one direction.
 
     Returns h [num_layers, N+1, H] in node space, or — with
@@ -624,6 +642,14 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
     """
     params_dir, fxs, ixs, (L, kn) = _build_streams(params_dir, cfg, x,
                                                    edge_attr, sched)
+    if kill_edges:
+        # reverse pass under ref_shared_agg_quirk: every aggregate is
+        # exactly zero upstream; masking out all edges reproduces that
+        # (masked sum -> 0, fully-masked max segment -> 0) and zeroes the
+        # edge-gradient stream in the custom backward via tmask
+        ixs["emask"] = jnp.zeros_like(ixs["emask"])
+        if "tmask" in ixs:
+            ixs["tmask"] = jnp.zeros_like(ixs["tmask"])
     h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
     packed = _fused_applicable(cfg)
     if slot_space:
@@ -665,7 +691,9 @@ def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
     for di, d in enumerate(cfg.dirs):
         pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
         sched = batch.fwd if d == 0 else batch.rev
-        h_dirs.append(_direction_pass(pdir, cfg, x, batch.edge_attr, sched))
+        h_dirs.append(_direction_pass(
+            pdir, cfg, x, batch.edge_attr, sched,
+            kill_edges=(d == 1 and cfg.reverse_agg_noop)))
     return x, h_dirs
 
 
@@ -721,8 +749,9 @@ def dagnn_forward(
         for di, d in enumerate(cfg.dirs):
             pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
             sched = batch.fwd if d == 0 else batch.rev
-            hcat, x_slot = _direction_pass(pdir, cfg, x, batch.edge_attr,
-                                           sched, slot_space=True)
+            hcat, x_slot = _direction_pass(
+                pdir, cfg, x, batch.edge_attr, sched, slot_space=True,
+                kill_edges=(d == 1 and cfg.reverse_agg_noop))
             L, kn = sched.node_ids.shape
             if cfg.out_wx:
                 hcat = jnp.concatenate([x_slot, hcat], axis=-1)

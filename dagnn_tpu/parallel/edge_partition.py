@@ -655,6 +655,11 @@ def ep_node_states(params, cfg: DAGNNConfig, x, edge_attr, eps_dirs,
         pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
         eps, st = eps_dirs[di], statics[di]
         pdirc, fxs, ixs = _ep_streams(pdir, cfg, x, edge_attr, eps, st.rows)
+        if d == 1 and cfg.reverse_agg_noop:
+            # shared-AggConv quirk (see DAGNNConfig.ref_shared_agg_quirk):
+            # the reverse pass aggregates nothing upstream
+            ixs["emask"] = jnp.zeros_like(ixs["emask"])
+            ixs["tmask"] = jnp.zeros_like(ixs["tmask"])
         own = _ep_wavefront((cfg, st.rows, st.own_w, st.halo, axis,
                              st.has_urgent, st.has_deferred),
                             pdirc, fxs, ixs)

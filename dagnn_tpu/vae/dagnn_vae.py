@@ -108,6 +108,10 @@ class DAGNNVAEConfig:
             num_class=1,          # dummy head, unused
             encoder=EncoderSpec("identity"),
             vid_dim=self.num_nodes if self.vid else 0,
+            # the dvae model fixes the shared-AggConv reverse bug upstream
+            # (dvae/dagnn.py:67-70: separate reverse=True conv), so the VAE
+            # coupling uses the intended reverse aggregation
+            ref_shared_agg_quirk=False,
         )
 
     @property

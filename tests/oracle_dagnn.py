@@ -127,12 +127,18 @@ def oracle_dagnn_forward(params, cfg, src, dst, x_raw, graph_id, num_graphs,
 
     for di, d in enumerate(cfg.dirs):
         tgt, other = (dst, src) if d == 0 else (src, dst)
+        # shared-AggConv quirk (dagnn.py:74-75): the reverse pass's shared
+        # forward-flow conv aggregates into edge TARGETS, so the level rows
+        # read back zero — reproduce by dropping every edge (see
+        # DAGNNConfig.ref_shared_agg_quirk)
+        rev_noop = d == 1 and cfg.reverse_agg_noop
         lv = levels[d]
         for li in range(int(lv.max()) + 1 if N else 0):
             layer = np.flatnonzero(lv == li)
             inp = x[layer]
             if li > 0:
-                eids = np.flatnonzero(np.isin(tgt, layer))
+                eids = (np.zeros(0, int) if rev_noop
+                        else np.flatnonzero(np.isin(tgt, layer)))
                 e_dst = tgt[eids]
                 e_src = other[eids]
                 ea = edge_attr[eids] if (cfg.w_edge_attr and edge_attr is not None
