@@ -17,6 +17,7 @@ out_pool_all, out_pool, dropout, num_class, recurr.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -47,6 +48,9 @@ NA_ATTN_H = "attn_h"
 NA_MATTN_H = "mattn_h"
 
 P_MEAN, P_ADD, P_SUM, P_MAX, P_ATTN = "mean", "add", "sum", "max", "attn"
+
+# scan unroll factor for the wavefront loops (A/B knob; see bench history)
+_SCAN_UNROLL = int(os.environ.get("DAGNN_SCAN_UNROLL", "1"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -312,7 +316,7 @@ def _wavefront(static, params_dir, fxs, ixs):
     instead of a per-step carry snapshot (which OOMs at depth ~100).
     """
     h, _ = jax.lax.scan(_fwd_step(static, params_dir), _init_h(static, fxs),
-                        (fxs, ixs))
+                        (fxs, ixs), unroll=_SCAN_UNROLL)
     return h
 
 
@@ -394,7 +398,7 @@ def _wavefront_fwd(static, params_dir, fxs, ixs):
         # write cost — and its entire in-kernel forward recompute)
         h, (vals_s, res_s) = jax.lax.scan(
             _fwd_step(static, params_dir, with_vals=True),
-            _init_h(static, fxs), (fxs, ixs))
+            _init_h(static, fxs), (fxs, ixs), unroll=_SCAN_UNROLL)
         return h, (params_dir, fxs, ixs, (vals_s, res_s))
     h = _wavefront(static, params_dir, fxs, ixs)
     return h, (params_dir, fxs, ixs, h)
@@ -458,7 +462,8 @@ def _wavefront_bwd(static, res, g):
             if use_t else g)
     d_params0 = jax.tree.map(jnp.zeros_like, params_dir)
     (_, d_params), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, d_params0), (fxs, ixs), reverse=True)
+        bwd_step, (acc0, d_params0), (fxs, ixs), reverse=True,
+        unroll=_SCAN_UNROLL)
     d_ixs = jax.tree.map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), ixs)
     return d_params, d_fxs, d_ixs
@@ -522,7 +527,7 @@ def _wavefront_bwd_fused(static, res, g):
            for n in _row_names(cfg.num_layers, has_ea)}
     (_, dw_total), d_fxs = jax.lax.scan(
         bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s, res_s),
-        reverse=True)
+        reverse=True, unroll=_SCAN_UNROLL)
     d_params = unflatten_row_weight_grads(dw_total, cfg.num_layers, has_ea)
     if not has_ea:
         # structural zeros for edge-encoder params absent from the kernel
@@ -677,6 +682,210 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
     return h_flat[:, node_slot, :]
 
 
+# ------------------- direction-merged wavefront (fused path, bidirectional)
+#
+# The two direction passes are independent given x (they only meet at the
+# readout), yet the sequential-row LATENCY of the scan is paid per row per
+# direction. When both schedules share padded shapes, the merged path runs
+# ONE scan whose rows are the concat [fwd-block | rev-block]: one kernel
+# dispatch, one predecessor gather, one state write per row covers both
+# directions — halving the per-row fixed costs that dominate the wavefront
+# (v5e profile: ~12.5us/row fwd + ~21us/row bwd of XLA glue at the TOK
+# bench shape). Fused-kernel configs only (attn aggregators + GRU).
+
+
+def merged_applicable(cfg: DAGNNConfig, batch: DAGBatch) -> bool:
+    if not (cfg.bidirectional and _fused_applicable(cfg)):
+        return False
+    f, r = batch.fwd, batch.rev
+    return (f.node_ids.shape == r.node_ids.shape
+            and f.edge_src_slot.shape == r.edge_src_slot.shape
+            and f.tgrad_eslot is not None and r.tgrad_eslot is not None)
+
+
+def _remap_slot(slot, unit, L, d):
+    """Per-direction buffer index -> merged-buffer index.
+
+    A per-direction buffer [L*unit + 1] (garbage row last) interleaves into
+    the merged [L*2*unit + 1] as row*2*unit + d*unit + col."""
+    g = L * unit
+    row, col = slot // unit, slot % unit
+    return jnp.where(slot == g, 2 * g, row * (2 * unit) + d * unit + col)
+
+
+def _build_streams_merged(params, cfg: DAGNNConfig, x, edge_attr, sf, sr):
+    """Merged-direction streams: per-row concat of both schedules' blocks.
+
+    eslot / teslot are remapped into the merged state / edge-grad buffers;
+    edst and tdst stay BLOCK-LOCAL (the kernel processes each direction
+    block with its own one-hot matrices and weights)."""
+    L, kn = sf.node_ids.shape
+    params2 = [{"aggr": params["aggr"][di], "cells": params["cells"][di]}
+               for di in range(2)]
+    if cfg.compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+        params2 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, params2)
+
+    cat = lambda a, b: jnp.concatenate([jnp.asarray(a), jnp.asarray(b)],
+                                       axis=1)
+    node_ids = cat(sf.node_ids, sr.node_ids)              # [L, 2Kn]
+    fxs = {"x": x[node_ids]}
+    if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
+        eid = cat(sf.edge_id, sr.edge_id)
+        fxs["ea"] = jnp.asarray(edge_attr)[eid].astype(x.dtype)
+    ixs = {
+        "lvl": jnp.arange(L, dtype=jnp.int32),
+        "nmask": cat(sf.node_mask, sr.node_mask),
+        "eslot": cat(_remap_slot(jnp.asarray(sf.edge_src_slot), kn, L, 0),
+                     _remap_slot(jnp.asarray(sr.edge_src_slot), kn, L, 1)),
+        "edst": cat(sf.edge_dst, sr.edge_dst),            # block-local
+        "emask": cat(sf.edge_mask, sr.edge_mask),
+    }
+    ke = sf.edge_src_slot.shape[1]
+    # Kt is sized per direction from actual transpose-row widths — pad both
+    # to the common max (pad conventions per schedule.py: eslot -> garbage
+    # L*Ke, dst -> Kn, mask -> 0)
+    kt = max(sf.tgrad_eslot.shape[1], sr.tgrad_eslot.shape[1])
+
+    def padt(a, fill):
+        a = jnp.asarray(a)
+        w = kt - a.shape[1]
+        if w == 0:
+            return a
+        return jnp.pad(a, ((0, 0), (0, w)), constant_values=fill)
+
+    ixs["teslot"] = cat(
+        _remap_slot(padt(sf.tgrad_eslot, L * ke), ke, L, 0),
+        _remap_slot(padt(sr.tgrad_eslot, L * ke), ke, L, 1))
+    ixs["tdst"] = cat(padt(sf.tgrad_dst, kn), padt(sr.tgrad_dst, kn))
+    ixs["tmask"] = cat(padt(sf.tgrad_mask, False), padt(sr.tgrad_mask, False))
+    return params2, fxs, ixs, (L, 2 * kn)
+
+
+def _mweights(cfg: DAGNNConfig, params2, has_ea):
+    from dagnn_tpu.ops.pallas.row_step import (flatten_row_weights,
+                                               stack_row_weights)
+    qdims = [cfg.aggregator_spec(l).query_dim for l in range(cfg.num_layers)]
+    return stack_row_weights([
+        flatten_row_weights(p["aggr"], p["cells"], qdims, has_ea)
+        for p in params2])
+
+
+def _mfwd_step(static, params2, with_vals: bool = False):
+    """One merged scan step: both direction blocks in one fused kernel."""
+    cfg, L, kn2 = static
+
+    def step(h, xs):
+        from dagnn_tpu.ops.pallas.row_step import fused_row_forward
+        fxs, ixs = xs
+        offset = ixs["lvl"] * kn2
+        st = _fused_static(cfg, fxs)
+        vals = h[ixs["eslot"]]                            # [2Ke, nl*H]
+        out = fused_row_forward(
+            st, jax.default_backend() != "tpu",
+            fxs["x"], vals, fxs.get("ea") if st[0] else None,
+            ixs["edst"], ixs["emask"], ixs["nmask"],
+            _mweights(cfg, params2, st[0]), emit_res=with_vals, ndirs=2)
+        if with_vals:
+            outs, *res = out
+            h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
+            return h, (vals, tuple(res))
+        h = jax.lax.dynamic_update_slice(h, out, (offset, 0))
+        return h, None
+
+    return step
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mwavefront(static, params2, fxs, ixs):
+    cfg, L, kn2 = static
+    h0 = jnp.zeros((L * kn2 + 1, cfg.num_layers * cfg.hidden_dim),
+                   fxs["x"].dtype)
+    h, _ = jax.lax.scan(_mfwd_step(static, params2), h0, (fxs, ixs),
+                        unroll=_SCAN_UNROLL)
+    return h
+
+
+def _mwavefront_fwd(static, params2, fxs, ixs):
+    cfg, L, kn2 = static
+    h0 = jnp.zeros((L * kn2 + 1, cfg.num_layers * cfg.hidden_dim),
+                   fxs["x"].dtype)
+    h, (vals_s, res_s) = jax.lax.scan(
+        _mfwd_step(static, params2, with_vals=True), h0, (fxs, ixs),
+        unroll=_SCAN_UNROLL)
+    return h, (params2, fxs, ixs, (vals_s, res_s))
+
+
+def _mwavefront_bwd(static, res, g):
+    """Merged transpose-schedule backward (mirror of _wavefront_bwd_fused
+    with direction-concatenated rows and stacked weight grads)."""
+    from dagnn_tpu.ops.pallas.row_step import (
+        fused_row_backward, unflatten_row_weight_grads, _names as _row_names)
+    cfg, L, kn2 = static
+    params2, fxs, ixs, (vals_s, res_s) = res
+    st = _fused_static(cfg, fxs)
+    has_ea = st[0]
+    weights = _mweights(cfg, params2, has_ea)
+    interp = jax.default_backend() != "tpu"
+    ke2 = ixs["eslot"].shape[1]
+    lh = cfg.num_layers * cfg.hidden_dim
+
+    def bwd_step(carry, xs):
+        acc, dw_acc = carry
+        fxs_l, ixs_l, g_out, vals, res_l = xs
+        lvl = ixs_l["lvl"]
+        # two half-width gathers measurably beat one [2Kt,lh] gather from
+        # the merged edge-grad buffer on v5e (1.240M vs 1.224M edges/s e2e)
+        kt2 = ixs_l["teslot"].shape[0] // 2
+        tg = jnp.concatenate([acc[ixs_l["teslot"][:kt2]],
+                              acc[ixs_l["teslot"][kt2:]]])
+        tg = jax.lax.optimization_barrier(tg)
+        dx, dvals, dea, dw = fused_row_backward(
+            st, interp, fxs_l["x"], vals,
+            fxs_l.get("ea") if has_ea else None,
+            ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
+            g_out, tg, ixs_l["tdst"], ixs_l["tmask"], res=res_l, ndirs=2)
+        dvals = jax.lax.optimization_barrier(dvals)
+        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * ke2, 0))
+        dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
+        dfl = {"x": dx}
+        if "ea" in fxs_l:
+            dfl["ea"] = (dea if dea is not None
+                         else jnp.zeros_like(fxs_l["ea"]))
+        return (acc, dw_acc), dfl
+
+    acc0 = jnp.zeros((L * ke2 + 1, lh), g.dtype)
+    g_stream = g[: L * kn2].reshape(L, kn2, lh)
+    dw0 = {n: jnp.zeros_like(weights[n])
+           for n in _row_names(cfg.num_layers, has_ea)}
+    (_, dw_total), d_fxs = jax.lax.scan(
+        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s, res_s),
+        reverse=True, unroll=_SCAN_UNROLL)
+    d_params2 = [
+        unflatten_row_weight_grads({k: v[di] for k, v in dw_total.items()},
+                                   cfg.num_layers, has_ea)
+        for di in range(2)
+    ]
+    d_ixs = jax.tree.map(lambda a: np.zeros(a.shape, jax.dtypes.float0), ixs)
+    return d_params2, d_fxs, d_ixs
+
+
+_mwavefront.defvjp(_mwavefront_fwd, _mwavefront_bwd)
+
+
+def merged_pass(params, cfg: DAGNNConfig, x, edge_attr, batch: DAGBatch):
+    """Both direction passes in one scan. Returns (h_flat [L*2Kn, nl*H],
+    x_flat [L*2Kn, emb]) in the MERGED level-sorted layout: row r holds
+    the fwd block at rows r*2Kn..r*2Kn+Kn and the rev block after it."""
+    params2, fxs, ixs, (L, kn2) = _build_streams_merged(
+        params, cfg, x, edge_attr, batch.fwd, batch.rev)
+    h = _mwavefront((cfg, L, kn2), params2, fxs, ixs)
+    return h[: L * kn2], fxs["x"].reshape(L * kn2, -1)
+
+
 def dagnn_node_states(params, cfg: DAGNNConfig, batch: DAGBatch):
     """Run encoder + both direction passes; return (x, h_dirs) where
     h_dirs[d] is [num_layers, N+1, H]. The seam the VAE encoder builds its
@@ -745,14 +954,38 @@ def dagnn_forward(
         x = encode(params["encoder"], cfg.encoder, batch.x,
                    batch.extras.get("node_depth"))
         x = jnp.where(batch.node_mask[:, None], x, 0)
+        merged = merged_applicable(cfg, batch)
+        if merged:
+            h2, x2 = merged_pass(params, cfg, x, batch.edge_attr, batch)
         parts = []
         for di, d in enumerate(cfg.dirs):
-            pdir = {"aggr": params["aggr"][di], "cells": params["cells"][di]}
             sched = batch.fwd if d == 0 else batch.rev
-            hcat, x_slot = _direction_pass(
-                pdir, cfg, x, batch.edge_attr, sched, slot_space=True,
-                kill_edges=(d == 1 and cfg.reverse_agg_noop))
             L, kn = sched.node_ids.shape
+            if merged:
+                oslots = (batch.out_slots_fwd if d == 0
+                          else batch.out_slots_rev)
+                if oslots is not None:
+                    # gather this direction's output rows straight from the
+                    # merged buffer — only the slot ids need remapping
+                    ms = _remap_slot(jnp.asarray(oslots), kn, L, di)
+                    hcat = h2[ms]
+                    if cfg.out_wx:
+                        hcat = jnp.concatenate([x2[ms], hcat], axis=-1)
+                    omask2 = (batch.out_slots_mask_fwd if d == 0
+                              else batch.out_slots_mask_rev)
+                    parts.append(_pool_gathered(
+                        hcat, jnp.asarray(omask2), cfg.out_pool,
+                        params.get("pool_attn")))
+                    continue
+                # per-direction view of the merged buffer for segment pools
+                hcat = h2.reshape(L, 2, kn, -1)[:, di].reshape(L * kn, -1)
+                x_slot = x2.reshape(L, 2, kn, -1)[:, di].reshape(L * kn, -1)
+            else:
+                pdir = {"aggr": params["aggr"][di],
+                        "cells": params["cells"][di]}
+                hcat, x_slot = _direction_pass(
+                    pdir, cfg, x, batch.edge_attr, sched, slot_space=True,
+                    kill_edges=(d == 1 and cfg.reverse_agg_noop))
             if cfg.out_wx:
                 hcat = jnp.concatenate([x_slot, hcat], axis=-1)
             oslots = (batch.out_slots_fwd if d == 0 else batch.out_slots_rev)

@@ -209,6 +209,12 @@ def flatten_row_weights(aggr, cells, query_dims, has_ea):
     return out
 
 
+def stack_row_weights(w_dirs):
+    """Stack per-direction flat weight dicts into [ndirs, ...] leaves for
+    the direction-merged kernels (fused_row_* with ndirs=2)."""
+    return {k: jnp.stack([w[k] for w in w_dirs]) for k in w_dirs[0]}
+
+
 def unflatten_row_weight_grads(dw, nlayers, has_ea):
     """Map flat kernel weight-grad dict back to params_dir tree shapes."""
     aggr, cells = [], []
@@ -257,7 +263,7 @@ def _call_kw(interpret):
 # ----------------------------------------------------------------- kernels
 
 def _row_fwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers, emit_res = static
+    has_ea, hdim, nlayers, emit_res, ndirs = static
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
     n_out = 4 if emit_res else 1
@@ -265,36 +271,46 @@ def _row_fwd_kernel(static, names, refs):
     out_ref = rest[-n_out]
     if emit_res:
         kall_ref, a32_ref, nres_ref = rest[-3:]
-    ea = ea_ref[:] if has_ea else None
-    emask = emask_ref[:]
-    kn = xin_ref.shape[0]
-    Pm, P = _build_P(edst_ref[:], emask, kn, vals_ref.dtype)
-    nmask = nmask_ref[:]
-    cur = xin_ref[:]
-    q = cur
-    for l in range(nlayers):
-        aggp = {k: wref[f"a{l}_{k}"][:] for k in agg_keys(has_ea)}
-        cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
-        out, res = _layer_fwd(aggp, cellp, cur, q,
-                              vals_ref[:, l * hdim:(l + 1) * hdim], ea, P, Pm,
-                              emask, nmask, hdim)
-        out = out.astype(out_ref.dtype)
-        out_ref[:, l * hdim:(l + 1) * hdim] = out
-        if emit_res:
-            # stream the backward's residuals (see fused_row_backward):
-            # k / alpha32 per edge, (agg, r, z, n, h_n) per slot
-            k_l, _alpha, alpha32, agg, r, z, n, h_n = res
-            kall_ref[:, l * hdim:(l + 1) * hdim] = k_l.astype(kall_ref.dtype)
-            a32_ref[:, l:l + 1] = alpha32
-            for i, t in enumerate((agg, r, z, n, h_n)):
-                col = (5 * l + i) * hdim
-                nres_ref[:, col:col + hdim] = t.astype(nres_ref.dtype)
-        cur = out
-        q = out
+    kn = xin_ref.shape[0] // ndirs
+    ke = vals_ref.shape[0] // ndirs
+    for d in range(ndirs):
+        # with ndirs>1 the row is a concat of per-direction blocks and the
+        # weights are stacked [ndirs, ...] (direction-merged scan: both
+        # direction passes ride ONE kernel dispatch per wavefront row)
+        w = ((lambda nm: wref[nm][d]) if ndirs > 1
+             else (lambda nm: wref[nm][:]))
+        ns, es = slice(d * kn, (d + 1) * kn), slice(d * ke, (d + 1) * ke)
+        ea = ea_ref[es, :] if has_ea else None
+        emask = emask_ref[es, :]
+        Pm, P = _build_P(edst_ref[es, :], emask, kn, vals_ref.dtype)
+        nmask = nmask_ref[ns, :]
+        cur = xin_ref[ns, :]
+        q = cur
+        vals_d = vals_ref[es, :]
+        for l in range(nlayers):
+            aggp = {k: w(f"a{l}_{k}") for k in agg_keys(has_ea)}
+            cellp = {k: w(f"c{l}_{k}") for k in CELL_KEYS}
+            out, res = _layer_fwd(aggp, cellp, cur, q,
+                                  vals_d[:, l * hdim:(l + 1) * hdim], ea, P,
+                                  Pm, emask, nmask, hdim)
+            out = out.astype(out_ref.dtype)
+            out_ref[ns, l * hdim:(l + 1) * hdim] = out
+            if emit_res:
+                # stream the backward's residuals (see fused_row_backward):
+                # k / alpha32 per edge, (agg, r, z, n, h_n) per slot
+                k_l, _alpha, alpha32, agg, r, z, n, h_n = res
+                kall_ref[es, l * hdim:(l + 1) * hdim] = k_l.astype(
+                    kall_ref.dtype)
+                a32_ref[es, l:l + 1] = alpha32
+                for i, t in enumerate((agg, r, z, n, h_n)):
+                    col = (5 * l + i) * hdim
+                    nres_ref[ns, col:col + hdim] = t.astype(nres_ref.dtype)
+            cur = out
+            q = out
 
 
 def _row_bwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers, merge_tg, use_res = static
+    has_ea, hdim, nlayers, merge_tg, use_res, ndirs = static
     in_names, out_names = names
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
@@ -314,106 +330,127 @@ def _row_bwd_kernel(static, names, refs):
     dx_ref, dvals_ref, dea_ref = rest[pos:pos + 3]
     dwrefs = _DictRefs(out_names, rest[pos + 3:])
 
-    ea = ea_ref[:] if has_ea else None
-    emask = emask_ref[:]
-    kn = xin_ref.shape[0]
+    kn = xin_ref.shape[0] // ndirs
+    ke = vals_ref.shape[0] // ndirs
+    kt = tdst_ref.shape[0] // ndirs if merge_tg else 0
     dt = vals_ref.dtype
-    Pm, P = _build_P(edst_ref[:], emask, kn, dt)
-    nmask = nmask_ref[:]
+    for d in range(ndirs):
+        # per-direction block of the (possibly direction-merged) row; with
+        # ndirs>1 the weight / weight-grad refs are stacked [ndirs, ...]
+        wsel = ((lambda nm: wref[nm][d]) if ndirs > 1
+                else (lambda nm: wref[nm][:]))
+        ns = slice(d * kn, (d + 1) * kn)
+        es = slice(d * ke, (d + 1) * ke)
+        ts = slice(d * kt, (d + 1) * kt)
 
-    if merge_tg:
-        # incoming edge-grad segment-sum fused in (saves one pallas
-        # dispatch per row): g_total = g + OH^T tg, OH one-hot of the
-        # transpose edges' local source slots. ONE [Kn,Kt]x[Kt,L*H]
-        # matmul covers every layer (packed last axis).
-        kt = tdst_ref.shape[0]
-        tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
-        OH = ((tcol == tdst_ref[:]) & (tmask_ref[:] > 0)).astype(dt)
-        tg_all = _dg(OH, tg_ref[:], 0, 0)                      # [Kn, L*H] f32
-        g_rows_tot = [
-            g_ref[:, l * hdim:(l + 1) * hdim].astype(_F32)
-            + tg_all[:, l * hdim:(l + 1) * hdim]
-            for l in range(nlayers)
-        ]
+        ea = ea_ref[es, :] if has_ea else None
+        emask = emask_ref[es, :]
+        nmask = nmask_ref[ns, :]
+        vals = vals_ref[es, :]
+        Pm, P = _build_P(edst_ref[es, :], emask, kn, dt)
 
-    cur = xin_ref[:]
-    q = cur
-    curs, qs, resids, aggps, cellps = [], [], [], [], []
-    if use_res:
-        # residuals streamed from the forward kernel: no recompute; the
-        # layer outputs (cur/q chain) reconstruct from the GRU pieces
-        kall_ref, a32_ref, nres_ref = res_refs
-        for l in range(nlayers):
-            aggps.append({k: wref[f"a{l}_{k}"][:]
-                          for k in agg_keys(has_ea, rows=True)})
-            cellps.append({k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS})
-            curs.append(cur)
-            qs.append(q)
-            k_l = kall_ref[:, l * hdim:(l + 1) * hdim]
-            alpha32 = a32_ref[:, l:l + 1]
-            parts = [nres_ref[:, (5 * l + i) * hdim:(5 * l + i + 1) * hdim]
-                     for i in range(5)]
-            agg, r, z, n, h_n = parts
-            resids.append((k_l, alpha32.astype(dt), alpha32, agg,
-                           r, z, n, h_n))
-            out = (((1.0 - z.astype(_F32)) * n.astype(_F32)
-                    + z.astype(_F32) * agg.astype(_F32))
-                   * nmask).astype(dt)
-            cur = out
-            q = out
-    else:
-        # forward recompute (residuals per layer stay in VMEM)
-        for l in range(nlayers):
-            aggp = {k: wref[f"a{l}_{k}"][:]
-                    for k in agg_keys(has_ea, rows=True)}
-            cellp = {k: wref[f"c{l}_{k}"][:] for k in CELL_KEYS}
-            curs.append(cur)
-            qs.append(q)
-            out, res = _layer_fwd(aggp, cellp, cur, q,
-                                  vals_ref[:, l * hdim:(l + 1) * hdim],
-                                  ea, P, Pm, emask, nmask, hdim)
-            out = out.astype(dt)
-            resids.append(res)
-            aggps.append(aggp)
-            cellps.append(cellp)
-            cur = out
-            q = out
-
-    dea_acc = jnp.zeros(dea_ref.shape, _F32) if has_ea else None
-    g_next = None  # d(out_l) arriving from layer l+1 (via its cur and q)
-    for l in range(nlayers - 1, -1, -1):
         if merge_tg:
-            g_l = g_rows_tot[l]                                # [Kn, H] f32
+            # incoming edge-grad segment-sum fused in (saves one pallas
+            # dispatch per row): g_total = g + OH^T tg, OH one-hot of the
+            # transpose edges' local source slots. ONE [Kn,Kt]x[Kt,L*H]
+            # matmul covers every layer (packed last axis).
+            tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
+            OH = ((tcol == tdst_ref[ts, :]) & (tmask_ref[ts, :] > 0)).astype(dt)
+            tg_all = _dg(OH, tg_ref[ts, :], 0, 0)              # [Kn, L*H] f32
+            g_rows_tot = [
+                g_ref[ns, l * hdim:(l + 1) * hdim].astype(_F32)
+                + tg_all[:, l * hdim:(l + 1) * hdim]
+                for l in range(nlayers)
+            ]
         else:
-            g_l = g_ref[:, l * hdim:(l + 1) * hdim].astype(_F32)
-        if g_next is not None:
-            g_l = g_l + g_next
-        g_l = g_l * nmask
-        dcur, dq, dval, dea_l, daggp, dcell = _layer_bwd(
-            aggps[l], cellps[l], curs[l], qs[l],
-            vals_ref[:, l * hdim:(l + 1) * hdim], ea, P,
-            resids[l], g_l, hdim)
-        dvals_ref[:, l * hdim:(l + 1) * hdim] = dval.astype(dvals_ref.dtype)
-        for k, v in daggp.items():
-            ref = dwrefs[f"a{l}_{k}"]
-            ref[:] = v.astype(ref.dtype)
-        for k, v in dcell.items():
-            ref = dwrefs[f"c{l}_{k}"]
-            ref[:] = v.astype(ref.dtype)
-        if dea_l is not None:
-            dea_acc = dea_acc + dea_l.astype(_F32)
-        g_next = dcur + dq
-    dx_ref[:] = g_next.astype(dx_ref.dtype)
-    if has_ea:
-        dea_ref[:] = dea_acc.astype(dea_ref.dtype)
-    else:
-        dea_ref[:] = jnp.zeros_like(dea_ref)
+            g_rows_tot = None
+
+        cur = xin_ref[ns, :]
+        q = cur
+        curs, qs, resids, aggps, cellps = [], [], [], [], []
+        if use_res:
+            # residuals streamed from the forward kernel: no recompute; the
+            # layer outputs (cur/q chain) reconstruct from the GRU pieces
+            kall_ref, a32_ref, nres_ref = res_refs
+            for l in range(nlayers):
+                aggps.append({k: wsel(f"a{l}_{k}")
+                              for k in agg_keys(has_ea, rows=True)})
+                cellps.append({k: wsel(f"c{l}_{k}") for k in CELL_KEYS})
+                curs.append(cur)
+                qs.append(q)
+                k_l = kall_ref[es, l * hdim:(l + 1) * hdim]
+                alpha32 = a32_ref[es, l:l + 1]
+                parts = [nres_ref[ns,
+                                  (5 * l + i) * hdim:(5 * l + i + 1) * hdim]
+                         for i in range(5)]
+                agg, r, z, n, h_n = parts
+                resids.append((k_l, alpha32.astype(dt), alpha32, agg,
+                               r, z, n, h_n))
+                out = (((1.0 - z.astype(_F32)) * n.astype(_F32)
+                        + z.astype(_F32) * agg.astype(_F32))
+                       * nmask).astype(dt)
+                cur = out
+                q = out
+        else:
+            # forward recompute (residuals per layer stay in VMEM)
+            for l in range(nlayers):
+                aggp = {k: wsel(f"a{l}_{k}")
+                        for k in agg_keys(has_ea, rows=True)}
+                cellp = {k: wsel(f"c{l}_{k}") for k in CELL_KEYS}
+                curs.append(cur)
+                qs.append(q)
+                out, res = _layer_fwd(aggp, cellp, cur, q,
+                                      vals[:, l * hdim:(l + 1) * hdim],
+                                      ea, P, Pm, emask, nmask, hdim)
+                out = out.astype(dt)
+                resids.append(res)
+                aggps.append(aggp)
+                cellps.append(cellp)
+                cur = out
+                q = out
+
+        dea_acc = jnp.zeros((ke, dea_ref.shape[1]), _F32) if has_ea else None
+        g_next = None  # d(out_l) arriving from layer l+1 (via its cur and q)
+        for l in range(nlayers - 1, -1, -1):
+            if merge_tg:
+                g_l = g_rows_tot[l]                            # [Kn, H] f32
+            else:
+                g_l = g_ref[ns, l * hdim:(l + 1) * hdim].astype(_F32)
+            if g_next is not None:
+                g_l = g_l + g_next
+            g_l = g_l * nmask
+            dcur, dq, dval, dea_l, daggp, dcell = _layer_bwd(
+                aggps[l], cellps[l], curs[l], qs[l],
+                vals[:, l * hdim:(l + 1) * hdim], ea, P,
+                resids[l], g_l, hdim)
+            dvals_ref[es, l * hdim:(l + 1) * hdim] = dval.astype(
+                dvals_ref.dtype)
+            for k, v in daggp.items():
+                ref = dwrefs[f"a{l}_{k}"]
+                if ndirs > 1:
+                    ref[d] = v.astype(ref.dtype)
+                else:
+                    ref[:] = v.astype(ref.dtype)
+            for k, v in dcell.items():
+                ref = dwrefs[f"c{l}_{k}"]
+                if ndirs > 1:
+                    ref[d] = v.astype(ref.dtype)
+                else:
+                    ref[:] = v.astype(ref.dtype)
+            if dea_l is not None:
+                dea_acc = dea_acc + dea_l.astype(_F32)
+            g_next = dcur + dq
+        dx_ref[ns, :] = g_next.astype(dx_ref.dtype)
+        if has_ea:
+            dea_ref[es, :] = dea_acc.astype(dea_ref.dtype)
+        else:
+            dea_ref[es, :] = jnp.zeros((ke, dea_ref.shape[1]), dea_ref.dtype)
 
 
 # ------------------------------------------------------------ entry points
 
 def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
-                      weights, emit_res: bool = False):
+                      weights, emit_res: bool = False, ndirs: int = 1):
     """Whole-row fused forward. vals [Ke, L*H] layer-packed; returns outs
     [Kn, L*H] (layer l in columns l*H:(l+1)*H).
 
@@ -421,7 +458,13 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     dict from flatten_row_weights. With emit_res=True additionally returns
     the backward residual streams (k_all [Ke, L*H], alpha32 [Ke, L] f32,
     nres [Kn, 5*L*H]: agg/r/z/n/h_n per layer) so fused_row_backward can
-    skip its in-kernel forward recompute."""
+    skip its in-kernel forward recompute.
+
+    ndirs=2 runs the DIRECTION-MERGED row: every per-row operand is a
+    concat of per-direction blocks along axis 0 and `weights` values are
+    stacked [2, ...] — both direction passes ride one kernel dispatch
+    (the two directions of the bidirectional wavefront are independent
+    given x, so their rows can share scan steps)."""
     has_ea, hdim, nlayers = static
     names = _names(nlayers, has_ea)
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
@@ -429,7 +472,8 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     ke = vals.shape[0]
 
     def kernel(*refs):
-        _row_fwd_kernel((has_ea, hdim, nlayers, emit_res), names, refs)
+        _row_fwd_kernel((has_ea, hdim, nlayers, emit_res, ndirs), names,
+                        refs)
 
     out_shape = jax.ShapeDtypeStruct((kn, nlayers * hdim), xin.dtype)
     if emit_res:
@@ -478,7 +522,7 @@ def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
 
 def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
                        weights, g, tg, tdst, tmask, merge_tg=True,
-                       res=None):
+                       res=None, ndirs: int = 1):
     """Whole-row fused backward — ONE pallas call by default (the
     transpose-edge-grad segment sum rides inside, merge_tg=True; set
     DAGNN_TPU_SPLIT_TG=1 or merge_tg=False for the two-call form if a
@@ -494,8 +538,9 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     Returns (dx [Kn, emb], dvals [Ke, L*H], dea or None, dw flat dict).
     """
     import os
-    if os.environ.get("DAGNN_TPU_SPLIT_TG"):
+    if os.environ.get("DAGNN_TPU_SPLIT_TG") and ndirs == 1:
         merge_tg = False
+    assert merge_tg or ndirs == 1, "split-tg path is single-direction only"
     has_ea, hdim, nlayers = static
     use_res = res is not None
     in_names = _names(nlayers, has_ea, rows=True)   # incl. row-form copies
@@ -520,7 +565,7 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
            for n in out_names])
 
     def kernel(*refs):
-        _row_bwd_kernel((has_ea, hdim, nlayers, merge_tg, use_res),
+        _row_bwd_kernel((has_ea, hdim, nlayers, merge_tg, use_res, ndirs),
                         (in_names, out_names), refs)
 
     fn = pl.pallas_call(
