@@ -23,8 +23,17 @@ stops being a folk number.
 """
 
 import json
+import os
 import sys
 import time
+
+# raise the TPU scoped-VMEM stack limit (default 16MB): the merged
+# backward kernel at dense-packed widths needs ~17-20MB of scoped VMEM
+# (v5e has 128MB physical VMEM; must be set before the first compile)
+_args = os.environ.get("LIBTPU_INIT_ARGS", "")
+if "scoped_vmem" not in _args:
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        _args + " --xla_tpu_scoped_vmem_limit_kib=32768").strip()
 
 import jax
 import jax.numpy as jnp

