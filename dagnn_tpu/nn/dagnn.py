@@ -732,6 +732,11 @@ def _build_streams_merged(params, cfg: DAGNNConfig, x, edge_attr, sf, sr):
     cat = lambda a, b: jnp.concatenate([jnp.asarray(a), jnp.asarray(b)],
                                        axis=1)
     node_ids = cat(sf.node_ids, sr.node_ids)              # [L, 2Kn]
+    # NOTE: like the per-direction path, the x gather keeps the default
+    # scatter-add VJP. An inverse-map (two-gather) custom VJP was re-A/B'd
+    # at the merged shapes on v5e: 1.54M vs 1.60M edges/s — the barrier it
+    # needs (to keep the bwd-scan ys from fusing into the pallas call)
+    # still costs more than the 0.8ms scatter it replaces.
     fxs = {"x": x[node_ids]}
     if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
         eid = cat(sf.edge_id, sr.edge_id)
