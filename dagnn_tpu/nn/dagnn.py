@@ -1016,23 +1016,15 @@ def dagnn_forward(
         out = jnp.concatenate(parts, axis=-1)
         return _apply_head(params, cfg, out, rng, train)
 
+    # node-space path: only out_pool_all configs reach here (every
+    # `not out_pool_all` config returned from the slot-space branch above,
+    # including the bidirectional per-direction readout)
     x, h_dirs = dagnn_node_states(params, cfg, batch)
-
-    if cfg.bidirectional and not cfg.out_pool_all:
-        # per-direction readout over that direction's final nodes (dagnn.py:184-193)
-        parts = []
-        for di, m in enumerate([batch.out_mask_fwd, batch.out_mask_rev]):
-            layers = [h_dirs[di][l] for l in range(cfg.num_layers)]
-            hcat = jnp.concatenate(([x] if cfg.out_wx else []) + layers, axis=-1)
-            parts.append(pool_nodes(hcat, batch.graph_id, num_graphs,
-                                    mask=m & batch.node_mask, **pool_kw))
-        out = jnp.concatenate(parts, axis=-1)
-    else:
-        layers = [h_dirs[di][l] for di in range(len(cfg.dirs)) for l in range(cfg.num_layers)]
-        hcat = jnp.concatenate(([x] if cfg.out_wx else []) + layers, axis=-1)
-        mask = batch.node_mask if cfg.out_pool_all else (batch.out_mask_fwd & batch.node_mask)
-        out = pool_nodes(hcat, batch.graph_id, num_graphs, mask=mask, **pool_kw)
-
+    layers = [h_dirs[di][l] for di in range(len(cfg.dirs))
+              for l in range(cfg.num_layers)]
+    hcat = jnp.concatenate(([x] if cfg.out_wx else []) + layers, axis=-1)
+    out = pool_nodes(hcat, batch.graph_id, num_graphs,
+                     mask=batch.node_mask, **pool_kw)
     return _apply_head(params, cfg, out, rng, train)
 
 

@@ -699,8 +699,11 @@ def make_ep_train_step(cfg: DAGNNConfig, mesh: Mesh, statics, loss_head,
     statics: per-direction EPStatic list (shape info, trace-time constant).
     loss_head(logits, y, graph_mask) -> scalar, given head outputs for the
     pooled readout (replicated across the axis after psum/pmax).
-    Supports out_pool in {max, add, sum, mean}; attn pool would need a
-    cross-device softmax and is rejected.
+    Supports every out_pool incl. "attn": the reference's attention pool
+    softmaxes a length-1 axis (dagnn.py:114-117), making it EXACTLY add
+    pool with constant weights 1.0 — even its score-linear's gradient is
+    identically zero — so it maps to the psum'd add pool here (same
+    attn_compat rule as readout.pool_nodes).
 
     With dp_axis set (2-axis mesh, parallel/mesh.py make_hybrid_mesh),
     every data argument carries an extra leading dp-group dimension: each
@@ -709,8 +712,6 @@ def make_ep_train_step(cfg: DAGNNConfig, mesh: Mesh, statics, loss_head,
     composition of the reference's DataParallel (tg/data_parallel.py)
     with the intra-batch sharding it never had.
     """
-    if cfg.out_pool == "attn":
-        raise NotImplementedError("attn pool not supported in EP mode")
     from dagnn_tpu.nn.dagnn import _apply_head
     from dagnn_tpu.nn.encoders import encode
 
@@ -722,7 +723,8 @@ def make_ep_train_step(cfg: DAGNNConfig, mesh: Mesh, statics, loss_head,
         h_dirs, x_dirs = ep_node_states(params, cfg, x, edge_attr,
                                         eps_dirs, statics, axis)
         G = graph_mask.shape[0]
-        kind = "add" if cfg.out_pool in ("add", "sum", "mean") else cfg.out_pool
+        kind = ("add" if cfg.out_pool in ("add", "sum", "mean", "attn")
+                else cfg.out_pool)
 
         def pool(h, di):
             gid, m = aux["gid"][di], aux["mask"][di]

@@ -66,10 +66,10 @@ from dagnn_tpu.train.losses import tok_loss
 from dagnn_tpu.train.optim import make_optimizer
 
 
-def _ep_setup(rng, n_dev, bidirectional=True):
+def _ep_setup(rng, n_dev, bidirectional=True, out_pool="max"):
     cfg = DAGNNConfig(num_vocab=7, max_seq_len=2, emb_dim=8, hidden_dim=8,
                       num_rels=2, num_layers=2, bidirectional=bidirectional,
-                      agg="attn_h", out_pool="max",
+                      agg="attn_h", out_pool=out_pool,
                       encoder=EncoderSpec("identity", emb_dim=8))
     graphs = [random_dag_graph(rng, n, 8) for n in (9, 7, 12, 10)]
     for i, g in enumerate(graphs):
@@ -80,12 +80,15 @@ def _ep_setup(rng, n_dev, bidirectional=True):
     return cfg, graphs, batch, params
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
-def test_ep_sharded_train_step_matches_single_device(n_dev):
+@pytest.mark.parametrize("n_dev,out_pool", [(2, "max"), (4, "max"),
+                                            (2, "attn")])
+def test_ep_sharded_train_step_matches_single_device(n_dev, out_pool):
+    """out_pool="attn" exercises the EP mapping of the reference's attn
+    pool (== add pool with constant weights, see make_ep_train_step)."""
     if len(jax.devices()) < n_dev:
         pytest.skip("not enough devices")
     rng = np.random.default_rng(3)
-    cfg, graphs, batch, params = _ep_setup(rng, n_dev)
+    cfg, graphs, batch, params = _ep_setup(rng, n_dev, out_pool=out_pool)
 
     def loss_head(logits, y, gmask):
         return tok_loss(logits, y["y_arr"], gmask)
