@@ -12,6 +12,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <queue>
+#include <utility>
 
 extern "C" {
 
@@ -156,6 +158,90 @@ int dag_stagger_offsets(const int64_t* level, const int64_t* node_graph,
                                             edge_budget);
         }
         if (best_delta + d > length) length = best_delta + d;
+    }
+    return 0;
+}
+
+
+// Critical-path list scheduling (schedule.pack_rows semantics, identical
+// pop order: max remaining depth first, ties by smallest node id; stash
+// probe bounded at 64 like the Python reference). Returns -1 when
+// edge_budget < max in-degree.
+int dag_pack_rows(const int64_t* rdepth, const int64_t* msg_src,
+                  const int64_t* msg_dst, int64_t n, int64_t e,
+                  int64_t kn, int64_t edge_budget, int64_t tg_budget,
+                  int64_t* out_row) {
+    if (n == 0) return 0;
+    std::vector<int64_t> indeg(n, 0), outdeg(n, 0);
+    for (int64_t i = 0; i < e; ++i) {
+        if (msg_dst[i] < 0 || msg_dst[i] >= n) return -2;
+        if (msg_src[i] < 0 || msg_src[i] >= n) return -2;
+        indeg[msg_dst[i]]++;
+        outdeg[msg_src[i]]++;
+    }
+    int64_t max_in = 0, max_out = 0;
+    for (int64_t v = 0; v < n; ++v) {
+        max_in = std::max(max_in, indeg[v]);
+        max_out = std::max(max_out, outdeg[v]);
+    }
+    if (max_in > edge_budget) return -1;
+    if (tg_budget && max_out > tg_budget) tg_budget = max_out;
+
+    // out-adjacency grouped by source, original edge order preserved
+    std::vector<int64_t> ostart(n + 1, 0), adj(e);
+    for (int64_t i = 0; i < e; ++i) ostart[msg_src[i] + 1]++;
+    for (int64_t v = 0; v < n; ++v) ostart[v + 1] += ostart[v];
+    {
+        std::vector<int64_t> cur(ostart.begin(), ostart.end() - 1);
+        for (int64_t i = 0; i < e; ++i) adj[cur[msg_src[i]]++] = msg_dst[i];
+    }
+
+    // min-heap on (-rdepth, id): pops max depth, ties smallest id —
+    // matches heapq over (-rdepth[u], u)
+    typedef std::pair<int64_t, int64_t> Item;
+    std::priority_queue<Item, std::vector<Item>, std::greater<Item> > ready;
+    std::vector<int64_t> npreds(indeg);
+    for (int64_t v = 0; v < n; ++v)
+        if (npreds[v] == 0) ready.push(Item(-rdepth[v], v));
+    std::vector<std::vector<int64_t> > pending;
+    std::vector<Item> stash;
+    int64_t r = 0, placed = 0;
+    while (placed < n) {
+        if (r < (int64_t)pending.size()) {
+            for (size_t i = 0; i < pending[r].size(); ++i) {
+                int64_t u = pending[r][i];
+                ready.push(Item(-rdepth[u], u));
+            }
+            pending[r].clear();
+        }
+        int64_t nc = 0, ec = 0, tc = 0;
+        stash.clear();
+        while (!ready.empty() && nc < kn) {
+            Item it = ready.top();
+            ready.pop();
+            int64_t u = it.second;
+            if (ec + indeg[u] > edge_budget ||
+                (tg_budget && tc + outdeg[u] > tg_budget)) {
+                stash.push_back(it);
+                if ((int64_t)stash.size() > 64) break;
+                continue;
+            }
+            out_row[u] = r;
+            nc++;
+            ec += indeg[u];
+            tc += outdeg[u];
+            placed++;
+            for (int64_t ei = ostart[u]; ei < ostart[u + 1]; ++ei) {
+                int64_t v = adj[ei];
+                if (--npreds[v] == 0) {
+                    if ((int64_t)pending.size() <= r + 1)
+                        pending.resize(r + 2);
+                    pending[r + 1].push_back(v);
+                }
+            }
+        }
+        for (size_t i = 0; i < stash.size(); ++i) ready.push(stash[i]);
+        r++;
     }
     return 0;
 }

@@ -58,6 +58,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dag_topo_levels_batch.argtypes = [i64p, i64p, i64p, i64p,
                                               ctypes.c_int64, i32p]
         lib.dag_topo_levels_batch.restype = ctypes.c_int
+        lib.dag_pack_rows.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.dag_pack_rows.restype = ctypes.c_int
         lib.dag_stagger_offsets.argtypes = [
             i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
@@ -118,3 +122,25 @@ def native_stagger_offsets(level, node_graph, num_graphs: int, kn: int,
     if r != 0:
         raise ValueError("invalid stagger input (node_graph out of range)")
     return offs
+
+
+def native_pack_rows(rdepth, msg_src, msg_dst, n: int, kn: int,
+                     edge_budget: int, tg_budget: int = 0
+                     ) -> Optional[np.ndarray]:
+    """Critical-path row packing (schedule.pack_rows semantics, identical
+    pop order / stash bound); None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rdepth = np.ascontiguousarray(rdepth, np.int64).ravel()
+    msg_src = np.ascontiguousarray(msg_src, np.int64).ravel()
+    msg_dst = np.ascontiguousarray(msg_dst, np.int64).ravel()
+    out = np.zeros(max(n, 1), np.int64)
+    r = lib.dag_pack_rows(rdepth, msg_src, msg_dst, n, len(msg_src),
+                          kn, edge_budget, tg_budget, out)
+    if r == -1:
+        raise ValueError(
+            f"edge_budget={edge_budget} < max in-degree (native)")
+    if r != 0:
+        raise ValueError("invalid pack_rows input (edge endpoint range)")
+    return out[:n]

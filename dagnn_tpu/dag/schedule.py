@@ -95,6 +95,7 @@ def pack_rows(
     kn: int,
     edge_budget: int,
     tg_budget: int = 0,
+    _native: bool = True,
 ) -> np.ndarray:
     """Critical-path list scheduling: per-NODE scan-row assignment.
 
@@ -121,6 +122,16 @@ def pack_rows(
     msg_src = np.asarray(msg_src, np.int64).ravel()
     msg_dst = np.asarray(msg_dst, np.int64).ravel()
     rdepth = np.asarray(rdepth, np.int64).ravel()
+
+    # native fast path (csrc/dagcore.cpp dag_pack_rows): identical pop
+    # order and stash bound — the heap loop dominates host collation
+    # at production batch sizes otherwise (~60ms/direction at TOK shapes)
+    if _native:
+        from dagnn_tpu.dag.native import native_pack_rows
+        out = native_pack_rows(rdepth, msg_src, msg_dst, n, kn,
+                               edge_budget, tg_budget)
+        if out is not None:
+            return out
     indeg = np.bincount(msg_dst, minlength=n)
     if int(indeg.max(initial=0)) > edge_budget:
         raise ValueError(

@@ -50,6 +50,7 @@ class DAGLoader:
         prefetch: int = 2,
         schedules: bool = True,
         edge_budget: Optional[int] = None,
+        stagger: int = 2,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -62,6 +63,10 @@ class DAGLoader:
         if edge_budget is None:
             edge_budget = (chunk_size * 3 // 2) if (chunk_size and schedules) else 0
         self.edge_budget = edge_budget
+        # row layout: 2 = critical-path packing (schedule.pack_rows, the
+        # production default — depth-floor row counts at ~0.95 fill),
+        # 1 = per-graph stagger, 0 = reference-aligned levels
+        self.stagger = stagger if (chunk_size and schedules) else 0
         self.n_shards = n_shards
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -91,7 +96,8 @@ class DAGLoader:
                     continue
                 if self.schedules:
                     c = PadConfig.for_graphs(s, chunk_size=self.chunk_size,
-                                             edge_budget=self.edge_budget)
+                                             edge_budget=self.edge_budget,
+                                             stagger=self.stagger)
                 else:
                     # cyclic baseline graphs: counts only, no leveling
                     c = PadConfig(
@@ -112,6 +118,7 @@ class DAGLoader:
                         edges_per_level=max(worst.edges_per_level, c.edges_per_level),
                         tgrad_per_level=max(worst.tgrad_per_level, c.tgrad_per_level),
                         edge_budget=self.edge_budget,
+                        stagger=self.stagger,
                     )
         worst = _round_cfg(worst)
         if self._pad is not None:

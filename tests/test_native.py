@@ -77,3 +77,35 @@ def test_native_stagger_matches_numpy(lib):
                                                 kn, eb, edge_dst)
             np.testing.assert_array_equal(got, ref,
                                           err_msg=f"trial {trial} kn={kn}")
+
+
+def test_native_pack_rows_bit_identical():
+    from dagnn_tpu.dag.native import get_lib
+    from dagnn_tpu.dag.schedule import pack_rows
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        n = int(rng.integers(20, 120))
+        src, dst = [], []
+        for i in range(n):
+            for j in range(i + 1, min(i + 12, n)):
+                if rng.random() < 0.25:
+                    src.append(i)
+                    dst.append(j)
+        if not src:
+            src, dst = [0], [1]
+        src, dst = np.array(src), np.array(dst)
+        # topo levels / remaining depth
+        lvl = np.zeros(n, np.int64)
+        for s_, d_ in sorted(zip(src, dst)):
+            lvl[d_] = max(lvl[d_], lvl[s_] + 1)
+        rd = np.zeros(n, np.int64)
+        for s_, d_ in sorted(zip(src, dst), reverse=True):
+            rd[s_] = max(rd[s_], rd[d_] + 1)
+        kn = int(rng.integers(4, 16))
+        eb = max(int(np.bincount(dst, minlength=n).max()), 8)
+        a = pack_rows(lvl, rd, src, dst, kn, eb, eb, _native=False)
+        b = pack_rows(lvl, rd, src, dst, kn, eb, eb, _native=True)
+        np.testing.assert_array_equal(a, b)
