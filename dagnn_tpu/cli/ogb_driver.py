@@ -64,6 +64,16 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="train subset csv.gz (train10/15/20)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic AST graphs instead of real data")
+    p.add_argument("--synthetic_targets", default="random",
+                   choices=["random", "structural"],
+                   help="synthetic TOK targets: random (memorization "
+                        "ceiling) or structure-derived (generalization)")
+    p.add_argument("--synthetic_mean_nodes", type=int, default=60)
+    p.add_argument("--synthetic_num_attrs", type=int, default=10030,
+                   help="attr-vocab size of synthetic nodes; SMALL values "
+                        "remove the per-graph identification channel so "
+                        "val/test accuracy measures structural "
+                        "generalization, not memorization")
     p.add_argument("--smoke", action="store_true",
                    help="tiny 50/10/10 split (reference CPU smoke mode)")
     p.add_argument("--checkpointing", type=int, default=1)
@@ -155,7 +165,10 @@ def load_dataset(args, task: str):
             print(f"real ogbg-code2 unavailable: {e}\n"
                   f"-> falling back to synthetic AST data")
     n = args.synthetic or 300
-    graphs = synthetic_ast_batch(args.seed, n, mean_nodes=60,
+    graphs = synthetic_ast_batch(args.seed, n,
+                                 mean_nodes=args.synthetic_mean_nodes,
+                                 targets=args.synthetic_targets,
+                                 num_attrs=args.synthetic_num_attrs,
                                  vocab=args.num_vocab + 2,
                                  seq_len=args.max_seq_len)
     for g in graphs:

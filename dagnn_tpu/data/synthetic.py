@@ -19,7 +19,8 @@ from dagnn_tpu.dag.batch import DAGGraph
 def synthetic_ast(rng: np.random.Generator, num_nodes: int,
                   num_types: int = 98, num_attrs: int = 10030,
                   vocab: int = 5002, seq_len: int = 5,
-                  extra_edge_p: float = 0.0) -> DAGGraph:
+                  extra_edge_p: float = 0.0,
+                  targets: str = "random") -> DAGGraph:
     """One AST-like DAG: a random tree (each node's parent is a smaller id)
     plus next-token chain edges over leaves, 2-way one-hot edge types."""
     n = num_nodes
@@ -50,6 +51,23 @@ def synthetic_ast(rng: np.random.Generator, num_nodes: int,
     for i in range(1, n):
         depth[i] = depth[parents[i]] + 1
 
+    if targets == "structural":
+        # deterministic functions of graph structure/features, so valid/test
+        # metrics measure GENERALIZATION (random targets cap at
+        # memorization): root type, deepest node's type, clipped max depth,
+        # majority leaf type, leaf count (mod vocab) — a mix of
+        # feature-readout, structural, and counting difficulty
+        deepest = int(np.argmax(depth))
+        leaf_types = x[leaves, 0] if len(leaves) else x[:1, 0]
+        y_arr = np.array([
+            int(x[0, 0]),
+            int(x[deepest, 0]),
+            min(int(depth.max()), vocab - 1),
+            int(np.bincount(leaf_types).argmax()),
+            len(leaves) % vocab,
+        ][:seq_len], dtype=np.int32)
+    else:
+        y_arr = rng.integers(0, vocab, seq_len).astype(np.int32)
     g = DAGGraph(
         num_nodes=n,
         edge_src=src,
@@ -57,7 +75,7 @@ def synthetic_ast(rng: np.random.Generator, num_nodes: int,
         x=x,
         edge_attr=ea,
         extras={"node_depth": depth},
-        y={"y_arr": rng.integers(0, vocab, seq_len).astype(np.int32)},
+        y={"y_arr": y_arr},
     )
     g.ensure_levels()
     return g

@@ -250,7 +250,7 @@ class EPSchedule(NamedTuple):
     u_send_mask: np.ndarray    # [D, R, Dp, Bu]
     u_recv_hidx: np.ndarray    # [D, R, Dp, Bu]
     # deferred subset (span>=2, pipelined; Bd wide; recv side shifted +1)
-    d_send_col: np.ndarray     # [D, R, Dp, Bd] plan of row r (send at r)
+    d_send_col: np.ndarray     # [D, R, Dp, Bd] FLAT own idx (pad garbage)
     d_send_mask: np.ndarray    # [D, R, Dp, Bd]
     d_recv_hidx: np.ndarray    # [D, R, Dp, Bd] row r holds row r-1's plan
     d_recv_mask: np.ndarray    # [D, R, Dp, Bd]
@@ -270,16 +270,18 @@ class EPStatic:
     has_deferred: bool = True
 
 
-def _fill_plan(entries, n_dev, R, Dp, B, Hs):
+def _fill_plan(entries, n_dev, R, Dp, B, Hs, col_pad=0):
     """Fill aligned send/recv plan arrays from a flat entry table.
 
     entries: dict of 1-D arrays {recv_d, send_d, row, col, hidx} — one
     element per (receiver, halo-entry) exchanged at `row` (the source
-    row on the send side). Returns (send_col, send_mask, recv_hidx,
+    row on the send side; for the REBALANCED deferred plan `row` is the
+    stage row and `col` a flat own-buffer index — see
+    partition_schedule_sharded). Returns (send_col, send_mask, recv_hidx,
     recv_mask, blk_of_entry) where blk_of_entry[i] = peer*B + j is entry
     i's position in the RECEIVER's block layout.
     """
-    send_col = np.zeros((n_dev, R, Dp, B), np.int32)
+    send_col = np.full((n_dev, R, Dp, B), col_pad, np.int32)
     send_mask = np.zeros((n_dev, R, Dp, B), bool)
     recv_hidx = np.full((n_dev, R, Dp, B), Hs, np.int32)
     recv_mask = np.zeros((n_dev, R, Dp, B), bool)
@@ -383,11 +385,35 @@ def partition_schedule_sharded(
                         minlength=1).max()) if len(e["row"]) else 0, floor)
     Bf = max(bw(ent, 1), widths.get("bf", 0))
     Bu = max(bw(sel(span1), 1), widths.get("bu", 0))
-    Bd = max(bw(sel(~span1), 1), widths.get("bd", 0))
     x_sc, x_sm, x_rh, _, blk_full = _fill_plan(ent, n_dev, R, n_dev, Bf, Hs)
     u_sc, u_sm, u_rh, _, _ = _fill_plan(sel(span1), n_dev, R, n_dev, Bu, Hs)
-    d_sc, d_sm, d_rh0, d_rm0, _ = _fill_plan(sel(~span1), n_dev, R, n_dev,
-                                             Bd, Hs)
+
+    # DEFERRED plan, rebalanced: an entry produced at row s and first read
+    # at row f >= s+2 may be exchanged at ANY stage row q in [s, f-1]
+    # (staged from the state buffer by flat own index, delivered at q+1
+    # <= f before the reader's gather). Spreading entries over their
+    # windows levels the per-(pair, row) block counts, so Bd tracks the
+    # MEAN load instead of the max — the previous source-row-only plan
+    # padded blocks ~14x the real payload on the bench batch. Greedy:
+    # earliest deadline first, least-loaded feasible row.
+    defer = sel(~span1)
+    d_flat = defer["row"] * w + defer["col"]               # flat own index
+    q_arr = defer["row"].copy()
+    if len(q_arr):
+        e_arr = first_use[~span1] - 1
+        pair_key = defer["send_d"] * n_dev + defer["recv_d"]
+        order = np.lexsort((defer["row"], e_arr, pair_key))
+        loads = np.zeros((n_dev * n_dev, R), np.int64)
+        for i in order:
+            p, s0, e0 = int(pair_key[i]), int(defer["row"][i]), int(e_arr[i])
+            win = loads[p, s0:e0 + 1]
+            q = s0 + int(np.argmin(win))
+            q_arr[i] = q
+            loads[p, q] += 1
+    defer = dict(defer, row=q_arr, col=d_flat)
+    Bd = max(bw(defer, 1), widths.get("bd", 0))
+    d_sc, d_sm, d_rh0, d_rm0, _ = _fill_plan(defer, n_dev, R, n_dev,
+                                             Bd, Hs, col_pad=garbage)
     # recv side of the deferred plan shifted one row later (pipelined)
     d_rh = np.concatenate([np.full_like(d_rh0[:, :1], Hs), d_rh0[:, :-1]], 1)
     d_rm = np.concatenate([np.zeros_like(d_rm0[:, :1]), d_rm0[:, :-1]], 1)
@@ -570,9 +596,12 @@ def _ep_fwd_step(static, params_dir):
             hidx = ixs_l["urh"].reshape(-1)                 # pad = Hs
             hw = recv_u.reshape(cfg.num_layers, -1, cfg.hidden_dim)
             buf = buf.at[:, R * w + hidx, :].set(hw)
-        # stage this row's deferred block for the next step's exchange
+        # stage the deferred block for the next step's exchange — gathered
+        # from the state BUFFER by flat own index (entries may be staged
+        # any row in [produce, first-read-1]; the planner load-balances the
+        # stage rows, see partition_schedule_sharded), pad = garbage row
         if has_d:
-            pend = outs[:, ixs_l["dsc"], :]
+            pend = buf[:, ixs_l["dsc"], :]
             pend = pend * ixs_l["dsm"][None, ..., None].astype(outs.dtype)
         return (buf, pend), None
 
