@@ -52,6 +52,12 @@ P_MEAN, P_ADD, P_SUM, P_MAX, P_ATTN = "mean", "add", "sum", "max", "attn"
 # scan unroll factor for the wavefront loops (A/B knob; see bench history)
 _SCAN_UNROLL = int(os.environ.get("DAGNN_SCAN_UNROLL", "1"))
 
+# A/B knob: 1 = merged backward re-gathers predecessor states from the
+# final buffer and recomputes the forward in-kernel instead of consuming
+# the forward's residual streams (trades ~10us/row of stream DUS+slice
+# glue and ~380MB/step of HBM for in-kernel recompute)
+_NO_RES_STREAM = bool(int(os.environ.get("DAGNN_NO_RES_STREAM", "0")))
+
 
 @dataclasses.dataclass(frozen=True)
 class DAGNNConfig:
@@ -816,6 +822,9 @@ def _mwavefront(static, params2, fxs, ixs):
 
 def _mwavefront_fwd(static, params2, fxs, ixs):
     cfg, L, kn2 = static
+    if _NO_RES_STREAM:
+        h = _mwavefront(static, params2, fxs, ixs)
+        return h, (params2, fxs, ixs, h)
     h0 = jnp.zeros((L * kn2 + 1, cfg.num_layers * cfg.hidden_dim),
                    fxs["x"].dtype)
     h, (vals_s, res_s) = jax.lax.scan(
@@ -830,7 +839,12 @@ def _mwavefront_bwd(static, res, g):
     from dagnn_tpu.ops.pallas.row_step import (
         fused_row_backward, unflatten_row_weight_grads, _names as _row_names)
     cfg, L, kn2 = static
-    params2, fxs, ixs, (vals_s, res_s) = res
+    params2, fxs, ixs, res4 = res
+    if _NO_RES_STREAM:
+        h_final = res4
+        vals_s = res_s = None
+    else:
+        vals_s, res_s = res4
     st = _fused_static(cfg, fxs)
     has_ea = st[0]
     weights = _mweights(cfg, params2, has_ea)
@@ -840,7 +854,12 @@ def _mwavefront_bwd(static, res, g):
 
     def bwd_step(carry, xs):
         acc, dw_acc = carry
-        fxs_l, ixs_l, g_out, vals, res_l = xs
+        if _NO_RES_STREAM:
+            fxs_l, ixs_l, g_out = xs
+            vals = jax.lax.optimization_barrier(h_final[ixs_l["eslot"]])
+            res_l = None
+        else:
+            fxs_l, ixs_l, g_out, vals, res_l = xs
         lvl = ixs_l["lvl"]
         # two half-width gathers measurably beat one [2Kt,lh] gather from
         # the merged edge-grad buffer on v5e (1.240M vs 1.224M edges/s e2e)
@@ -866,8 +885,10 @@ def _mwavefront_bwd(static, res, g):
     g_stream = g[: L * kn2].reshape(L, kn2, lh)
     dw0 = {n: jnp.zeros_like(weights[n])
            for n in _row_names(cfg.num_layers, has_ea)}
+    bxs = ((fxs, ixs, g_stream) if _NO_RES_STREAM
+           else (fxs, ixs, g_stream, vals_s, res_s))
     (_, dw_total), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s, res_s),
+        bwd_step, (acc0, dw0), bxs,
         reverse=True, unroll=_SCAN_UNROLL)
     d_params2 = [
         unflatten_row_weight_grads({k: v[di] for k, v in dw_total.items()},
