@@ -63,10 +63,20 @@ def encode(
     if spec.kind == "identity":
         return x.astype(jnp.float32) if not jnp.issubdtype(x.dtype, jnp.floating) else x
     if spec.kind in ("ast", "ast2"):
-        out = params["type_emb"][x[:, 0]] + params["attr_emb"][x[:, 1]]
+        # SMALL tables (type ~98 rows, depth ~21) look up via one-hot
+        # matmul: the gather's VJP is a scatter-add costing ~14ns/row on
+        # TPU (~280us/table/step at TOK shapes) while the one-hot path's
+        # backward is a [rows, N]x[N, emb] MXU matmul (~6us); the big attr
+        # table stays a gather (its one-hot matmul would be 61 GMAC)
+        def small_lookup(table, idx):
+            oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+            return oh @ table
+
+        out = small_lookup(params["type_emb"], x[:, 0]) \
+            + params["attr_emb"][x[:, 1]]
         if spec.kind == "ast":
             d = jnp.clip(node_depth.reshape(-1), 0, spec.max_depth)
-            out = out + params["depth_emb"][d]
+            out = out + small_lookup(params["depth_emb"], d)
         return out
     if spec.kind == "bag":
         return params["emb"][x].sum(axis=-2)
