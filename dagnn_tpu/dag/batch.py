@@ -412,8 +412,10 @@ def _staggered(lvl, node_graph, n_graphs, chunk, edge_budget, msg_dst,
     if enabled >= 2 and rdepth is not None and msg_src is not None \
             and edge_budget:
         from dagnn_tpu.dag.schedule import pack_rows
+        import os
+        tb = int(os.environ.get("DAGNN_TG_BUDGET", "0")) or edge_budget
         return pack_rows(lvl, rdepth, msg_src, msg_dst, chunk, edge_budget,
-                         tg_budget=edge_budget)
+                         tg_budget=tb)
     if n_graphs <= 1:
         return lvl
     offs = stagger_offsets(lvl, node_graph, n_graphs, chunk,

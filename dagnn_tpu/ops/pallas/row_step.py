@@ -93,13 +93,19 @@ def _layer_fwd(aggp, cellp, cur, q, val, ea, P, Pm, emask, nmask, hdim):
     alpha = alpha32.astype(dt)
     agg = _mm(P.T, val * alpha).astype(dt)                    # [Kn, H]
 
-    # GRU (torch.nn.GRUCell; params w_ih [3H,In], w_hh [3H,H])
-    gi = _dg(cur, cellp["w_ih"], 1, 1) + cellp["b_ih"].astype(_F32)
-    gh = _dg(agg, cellp["w_hh"], 1, 1) + cellp["b_hh"].astype(_F32)
-    i_r, i_z, i_n = gi[:, :hdim], gi[:, hdim:2 * hdim], gi[:, 2 * hdim:]
-    h_r, h_z, h_n = gh[:, :hdim], gh[:, hdim:2 * hdim], gh[:, 2 * hdim:]
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
+    # GRU (torch.nn.GRUCell; params w_ih [3H,In], w_hh [3H,H]).
+    # r/z gates only ever see gi+gh, so their two matmuls fuse into ONE
+    # [Kn, In+H] x [In+H, 2H] pass over the precomputed concat weight
+    # (w_rz, flatten_row_weights) — fewer MXU dispatches and less lane
+    # padding at H=300; the n gate needs i_n and h_n separately.
+    ca = jnp.concatenate([cur, agg], axis=1)
+    grz = _dg(ca, cellp["w_rz"], 1, 1) + (
+        cellp["b_ih"][:, :2 * hdim] + cellp["b_hh"][:, :2 * hdim]
+    ).astype(_F32)
+    i_n = _dg(cur, cellp["w_in"], 1, 1) + cellp["b_ih"][:, 2 * hdim:].astype(_F32)
+    h_n = _dg(agg, cellp["w_hn"], 1, 1) + cellp["b_hh"][:, 2 * hdim:].astype(_F32)
+    r = jax.nn.sigmoid(grz[:, :hdim])
+    z = jax.nn.sigmoid(grz[:, hdim:])
     n = jnp.tanh(i_n + r * h_n)
     out = ((1.0 - z) * n + z * agg.astype(_F32)) * nmask
     # residuals stored in the compute dtype — halves bwd VMEM residency
@@ -171,13 +177,29 @@ def agg_keys(has_ea, rows=False):
 
 
 CELL_KEYS = ("w_ih", "w_hh", "b_ih", "b_hh")
+# forward-kernel cell keys: fused r/z concat weight + separate n-gate
+# weights (derived views of w_ih/w_hh, built in flatten_row_weights)
+CELL_FWD_KEYS = ("w_rz", "w_in", "w_hn", "b_ih", "b_hh")
 
 
-def _names(nlayers, has_ea, rows=False):
+_CELL_DERIVED = ("w_rz", "w_in", "w_hn")
+
+
+def _names(nlayers, has_ea, rows=False, fwd=False):
+    """Ordered weight names. fwd=True: the forward kernel's set (fused r/z
+    + n-gate views, no canonical w_ih/w_hh). rows=True (backward inputs):
+    canonical + row-form score vectors + the derived views (the in-kernel
+    forward recompute consumes them)."""
+    if fwd:
+        ck = CELL_FWD_KEYS
+    elif rows:
+        ck = CELL_KEYS + _CELL_DERIVED
+    else:
+        ck = CELL_KEYS
     ns = []
     for l in range(nlayers):
         ns += [f"a{l}_{k}" for k in agg_keys(has_ea, rows)]
-        ns += [f"c{l}_{k}" for k in CELL_KEYS]
+        ns += [f"c{l}_{k}" for k in ck]
     return ns
 
 
@@ -206,6 +228,14 @@ def flatten_row_weights(aggr, cells, query_dims, has_ea):
         out[f"c{l}_w_hh"] = cp["w_hh"]
         out[f"c{l}_b_ih"] = cp["b_ih"].reshape(1, -1)
         out[f"c{l}_b_hh"] = cp["b_hh"].reshape(1, -1)
+        # derived forward views (hoisted slices/concats; grads flow only
+        # through the canonical w_ih/w_hh, the backward never reads these)
+        h3 = cp["w_ih"].shape[0]
+        hd = h3 // 3
+        out[f"c{l}_w_rz"] = jnp.concatenate(
+            [cp["w_ih"][: 2 * hd], cp["w_hh"][: 2 * hd]], axis=1)
+        out[f"c{l}_w_in"] = cp["w_ih"][2 * hd:]
+        out[f"c{l}_w_hn"] = cp["w_hh"][2 * hd:]
     return out
 
 
@@ -289,7 +319,7 @@ def _row_fwd_kernel(static, names, refs):
         vals_d = vals_ref[es, :]
         for l in range(nlayers):
             aggp = {k: w(f"a{l}_{k}") for k in agg_keys(has_ea)}
-            cellp = {k: w(f"c{l}_{k}") for k in CELL_KEYS}
+            cellp = {k: w(f"c{l}_{k}") for k in CELL_FWD_KEYS}
             out, res = _layer_fwd(aggp, cellp, cur, q,
                                   vals_d[:, l * hdim:(l + 1) * hdim], ea, P,
                                   Pm, emask, nmask, hdim)
@@ -396,7 +426,8 @@ def _row_bwd_kernel(static, names, refs):
             for l in range(nlayers):
                 aggp = {k: wsel(f"a{l}_{k}")
                         for k in agg_keys(has_ea, rows=True)}
-                cellp = {k: wsel(f"c{l}_{k}") for k in CELL_KEYS}
+                cellp = {k: wsel(f"c{l}_{k}")
+                         for k in CELL_KEYS + _CELL_DERIVED}
                 curs.append(cur)
                 qs.append(q)
                 out, res = _layer_fwd(aggp, cellp, cur, q,
@@ -466,7 +497,7 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     (the two directions of the bidirectional wavefront are independent
     given x, so their rows can share scan steps)."""
     has_ea, hdim, nlayers = static
-    names = _names(nlayers, has_ea)
+    names = _names(nlayers, has_ea, fwd=True)
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     kn = xin.shape[0]
     ke = vals.shape[0]
