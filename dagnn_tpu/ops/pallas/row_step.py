@@ -99,11 +99,9 @@ def _layer_fwd(aggp, cellp, cur, q, val, ea, P, Pm, emask, nmask, hdim):
     # (w_rz, flatten_row_weights) — fewer MXU dispatches and less lane
     # padding at H=300; the n gate needs i_n and h_n separately.
     ca = jnp.concatenate([cur, agg], axis=1)
-    grz = _dg(ca, cellp["w_rz"], 1, 1) + (
-        cellp["b_ih"][:, :2 * hdim] + cellp["b_hh"][:, :2 * hdim]
-    ).astype(_F32)
-    i_n = _dg(cur, cellp["w_in"], 1, 1) + cellp["b_ih"][:, 2 * hdim:].astype(_F32)
-    h_n = _dg(agg, cellp["w_hn"], 1, 1) + cellp["b_hh"][:, 2 * hdim:].astype(_F32)
+    grz = _dg(ca, cellp["w_rz"], 1, 1) + cellp["b_rz"].astype(_F32)
+    i_n = _dg(cur, cellp["w_in"], 1, 1) + cellp["b_in"].astype(_F32)
+    h_n = _dg(agg, cellp["w_hn"], 1, 1) + cellp["b_hn"].astype(_F32)
     r = jax.nn.sigmoid(grz[:, :hdim])
     z = jax.nn.sigmoid(grz[:, hdim:])
     n = jnp.tanh(i_n + r * h_n)
@@ -179,10 +177,10 @@ def agg_keys(has_ea, rows=False):
 CELL_KEYS = ("w_ih", "w_hh", "b_ih", "b_hh")
 # forward-kernel cell keys: fused r/z concat weight + separate n-gate
 # weights (derived views of w_ih/w_hh, built in flatten_row_weights)
-CELL_FWD_KEYS = ("w_rz", "w_in", "w_hn", "b_ih", "b_hh")
+CELL_FWD_KEYS = ("w_rz", "w_in", "w_hn", "b_rz", "b_in", "b_hn")
 
 
-_CELL_DERIVED = ("w_rz", "w_in", "w_hn")
+_CELL_DERIVED = ("w_rz", "w_in", "w_hn", "b_rz", "b_in", "b_hn")
 
 
 def _names(nlayers, has_ea, rows=False, fwd=False):
@@ -236,6 +234,12 @@ def flatten_row_weights(aggr, cells, query_dims, has_ea):
             [cp["w_ih"][: 2 * hd], cp["w_hh"][: 2 * hd]], axis=1)
         out[f"c{l}_w_in"] = cp["w_ih"][2 * hd:]
         out[f"c{l}_w_hn"] = cp["w_hh"][2 * hd:]
+        # combined biases precomputed host-side (an in-kernel slice+add of
+        # [1, 2H] vectors trips a Mosaic broadcast limitation at small H)
+        out[f"c{l}_b_rz"] = (cp["b_ih"][: 2 * hd]
+                             + cp["b_hh"][: 2 * hd]).reshape(1, -1)
+        out[f"c{l}_b_in"] = cp["b_ih"][2 * hd:].reshape(1, -1)
+        out[f"c{l}_b_hn"] = cp["b_hh"][2 * hd:].reshape(1, -1)
     return out
 
 
