@@ -76,14 +76,26 @@ def _roofline(cfg, batch, dt, n_params):
 
     head = 2 * G * S * V * cfg.out_hidden_dim
     fwd_useful = gru_flops(n) + attn_flops(e) + head
-    # executed: pad slots/edges run too, plus the P one-hot MXU passes
-    # ([Ke,Kn]x[Kn,H]-shaped: softmax shift, denominator, SpMM ~ 3/layer)
-    p_mm = L * dirs * nl * 3 * 2 * Ke * Kn * H
-    fwd_exec = gru_flops(L * Kn) + attn_flops(L * Ke) + p_mm + head
-    tg_mm = L * dirs * 2 * Kt * Kn * nl * H
     model = 3 * fwd_useful                      # fwd + 2x analytic bwd
-    # executed: no backward recompute (residuals stream from the forward)
-    execd = 3 * fwd_exec + tg_mm
+    if cfg.segment_impl == "fused":
+        # the fused kernels' ACTUAL op census (ops/pallas/row_step.py):
+        # H-width one-hot passes are ONE SpMM forward (P^T (alpha*val))
+        # and one backward (P dagg) per layer-dir — softmax internals are
+        # width-1 column ops; GRU family = fwd gi/gh + bwd dcur/dagg + dW
+        # = 3x (3H*Kn*(E+H)) MACs; transpose segment-sum OH once per
+        # row-dir; no backward recompute (residuals stream).
+        units = L * dirs * nl
+        gru_ish = units * 3 * 2 * 3 * H * Kn * (E_dim + H)
+        p_mm = units * 2 * 2 * Ke * Kn * H
+        tg_mm = L * dirs * 2 * Kt * Kn * nl * H
+        enc_small = 3 * (attn_flops(L * Ke))
+        execd = gru_ish + p_mm + tg_mm + 3 * head + enc_small
+    else:
+        # dense XLA path: ~3 H-width one-hot passes per layer-dir
+        p_mm = L * dirs * nl * 3 * 2 * Ke * Kn * H
+        fwd_exec = gru_flops(L * Kn) + attn_flops(L * Ke) + p_mm + head
+        tg_mm = L * dirs * 2 * Kt * Kn * nl * H
+        execd = 3 * fwd_exec + tg_mm
 
     bpe = 2  # bf16
     streams = L * Kn * E_dim * bpe * dirs       # x stream

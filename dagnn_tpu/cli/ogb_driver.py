@@ -83,6 +83,12 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--name", default=None)
     p.add_argument("--chunk_size", type=int, default=256)
     p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--segment_impl", default="auto",
+                   choices=["auto", "dense", "scatter", "fused"],
+                   help="auto: fused Pallas kernels + bf16 compute on TPU "
+                        "(the production fast path), dense f32 elsewhere")
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke/debug runs)")
     return p
@@ -140,7 +146,25 @@ def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030)
         dropout=args.dagnn_dropout,
         num_class=LP_NUM_CLASSES if task == "lp" else 0,
         encoder=enc,
+        segment_impl=_impl_for(args),
+        compute_dtype=_dtype_for(args),
     )
+
+
+def _impl_for(args):
+    if args.segment_impl != "auto":
+        return args.segment_impl
+    import jax
+    # fused whole-row (direction-merged when bidirectional) Pallas kernels
+    # on real chips; dense XLA elsewhere (pallas would run interpret-mode)
+    return "fused" if jax.default_backend() == "tpu" else "dense"
+
+
+def _dtype_for(args):
+    if args.compute_dtype != "auto":
+        return args.compute_dtype
+    import jax
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
 def load_dataset(args, task: str):
