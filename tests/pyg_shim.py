@@ -230,3 +230,112 @@ def load_reference_dagnn():
             else:
                 sys.modules[k] = old
     return mod
+
+
+# ------------------------------------------------- D-VAE (dvae/dagnn.py) side
+
+class FakeIGraph:
+    """Pure-Python stand-in for igraph.Graph — exactly the surface the
+    reference decoder loss touches (dvae/models_pyg.py:398-456 +
+    dvae/dagnn.py:187-239): directed graph with per-vertex attribute
+    dicts, add_vertex/add_edge, vcount, predecessors/successors."""
+
+    def __init__(self, directed=True):
+        self._vattrs = []
+        self._pred = []
+        self._succ = []
+
+    def add_vertex(self, **attrs):
+        self._vattrs.append(dict(attrs))
+        self._pred.append([])
+        self._succ.append([])
+
+    def add_edge(self, u, v):
+        self._succ[u].append(v)
+        self._pred[v].append(u)
+
+    def vcount(self):
+        return len(self._vattrs)
+
+    def predecessors(self, v):
+        return list(self._pred[v])
+
+    def successors(self, v):
+        return list(self._succ[v])
+
+    @property
+    def vs(self):
+        return _FakeVS(self)
+
+
+class _FakeVS:
+    def __init__(self, g):
+        self._g = g
+
+    def __getitem__(self, v):
+        return self._g._vattrs[v]
+
+
+class FakeData:
+    """torch_geometric.data.Data stand-in: attribute bag (base class of
+    the reference Batch; the loss path only reads .x/.edge_index/.vs)."""
+
+    def __init__(self, **kwargs):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+
+def load_reference_dvae_dagnn():
+    """Load the ACTUAL reference dvae/dagnn.py (DAGNN VAE coupling, class
+    DAGNN(DVAE_PYG)) with shims for igraph / torch_sparse / PyG. Returns
+    (dagnn_module, models_pyg_module).
+
+    NOTE the reference BASE class DVAE_PYG.loss cannot execute as written:
+    its _ipropagate_to stores vertex states under 'H_forward'
+    (models_pyg.py:204) while _get_ivertex_state/_get_igraph_state read
+    'H_forward0' (models_pyg.py:272,301) — a KeyError on any igraph. The
+    DAGNN subclass is the executable path: its _ipropagate_to override
+    (dvae/dagnn.py:187-239) writes the per-layer names the readers expect.
+    """
+    shims = _install_shim_modules()
+    ig = _mk("igraph", Graph=FakeIGraph, IN=2, OUT=1)
+    ts = _mk("torch_sparse", SparseTensor=type("SparseTensor", (), {}),
+             cat=lambda *a, **k: None)
+    tg_data = _mk("torch_geometric.data", Data=FakeData)
+    shims["torch_geometric"].data = tg_data
+
+    src_pkg = types.ModuleType("src")
+    src_pkg.__path__ = []
+    cspec = importlib.util.spec_from_file_location(
+        "src.constants", f"{REF}/src/constants.py")
+    consts = importlib.util.module_from_spec(cspec)
+    cspec.loader.exec_module(consts)
+    src_pkg.constants = consts
+
+    inject = dict(shims)
+    inject.update({"igraph": ig, "torch_sparse": ts,
+                   "torch_geometric.data": tg_data,
+                   "src": src_pkg, "src.constants": consts})
+    saved = {}
+    for k, v in inject.items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        def _load_as(name, path):
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            saved.setdefault(name, None)
+            spec.loader.exec_module(mod)
+            return mod
+
+        mpyg = _load_as("models_pyg", f"{REF}/dvae/models_pyg.py")
+        _load_as("batch", f"{REF}/dvae/batch.py")
+        dag = _load_as("ref_dvae_dagnn", f"{REF}/dvae/dagnn.py")
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = old
+    return dag, mpyg

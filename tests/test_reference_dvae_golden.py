@@ -1,0 +1,152 @@
+"""Golden parity vs the ACTUAL reference DAGNN-VAE coupling.
+
+Executes `dvae/dagnn.py` (class DAGNN(DVAE_PYG)) verbatim through the
+igraph/PyG shims in tests/pyg_shim.py and compares its teacher-forced
+`loss(mu, logvar, G_true)` against `dvae_teacher_loss` with copied
+weights and identical z (model.eval() makes reparameterize return mu).
+
+Discovered upstream while building this:
+- the BASE DVAE_PYG.loss cannot execute as written (its _ipropagate_to
+  stores 'H_forward', models_pyg.py:204, while the readers expect
+  'H_forward0', :272/:301) — only the DAGNN subclass's override
+  (dvae/dagnn.py:187-239) is runnable;
+- the subclass's layer loop keeps the `if H is None` guard, so upper GRU
+  layers REUSE the layer-0 predecessor aggregate — confirming the
+  transcribed quirk dvae_teacher_loss reproduces (tested here at 1 and 2
+  layers, gated_sum and attn_h);
+- the attention pad width hardcodes the ENAS graph size (`self.vs-8`,
+  dvae/dagnn.py:226): any max_n != 8 crashes upstream, so the attn
+  config runs at max_n=8.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not mounted")
+
+import torch
+import jax
+import jax.numpy as jnp
+
+from dagnn_tpu.vae.dagnn_vae import (DAGNNVAEConfig, dagnn_vae_init,
+                                     na_dense_views, _decoder_attn_params)
+from dagnn_tpu.vae.dvae import dvae_teacher_loss, kld
+from dagnn_tpu.data.na import NAGraph
+
+from pyg_shim import load_reference_dvae_dagnn, FakeData
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    return load_reference_dvae_dagnn()
+
+
+def _t(a):
+    return torch.tensor(np.asarray(a, np.float32))
+
+
+def _set_lin(tlin, p):
+    tlin.weight.data = _t(p["w"])
+    if getattr(tlin, "bias", None) is not None and "b" in p:
+        tlin.bias.data = _t(p["b"])
+
+
+def _set_gru(cell, cp):
+    cell.weight_ih.data = _t(cp["w_ih"])
+    cell.weight_hh.data = _t(cp["w_hh"])
+    cell.bias_ih.data = _t(cp["b_ih"])
+    cell.bias_hh.data = _t(cp["b_hh"])
+
+
+def _copy_decoder(tmodel, params, cfg):
+    dec = params["dec"]
+    _set_lin(tmodel.fc3, dec["fc3"])
+    _set_lin(tmodel.add_vertex[0], dec["add_vertex"]["l1"])
+    _set_lin(tmodel.add_vertex[2], dec["add_vertex"]["l2"])
+    _set_lin(tmodel.add_edge[0], dec["add_edge"]["l1"])
+    _set_lin(tmodel.add_edge[2], dec["add_edge"]["l2"])
+    for l in range(cfg.num_layers):
+        _set_gru(tmodel.grud[l], dec["grud"][l])
+        _set_lin(tmodel.gate_forward[l][0], dec["gate_f"][l])
+        _set_lin(tmodel.mapper_forward[l][0], dec["mapper_f"][l])
+        _set_lin(tmodel.gate_backward[l][0], dec["gate_b"][l])
+        _set_lin(tmodel.mapper_backward[l][0], dec["mapper_b"][l])
+    ap = _decoder_attn_params(params, cfg)
+    if ap is not None:
+        # decoder attention rides the (shared) encoder layer-0 conv
+        # (dvae/dagnn.py:233 uses node_aggr_0[l]; aggregation happens only
+        # at l=0 under the `if H is None` reuse)
+        _set_lin(tmodel.node_aggr_0[0].attn_lin, ap["attn_lin"])
+
+
+def _random_na_graphs(rng, cfg, n_graphs):
+    gs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(3, cfg.max_n + 1))
+        types = np.zeros(n, np.int64)
+        types[0] = 0                       # START
+        types[-1] = 1                      # END
+        if n > 2:
+            types[1:-1] = rng.integers(2, cfg.nvt, n - 2)
+        adj = np.zeros((n, n), np.uint8)
+        for j in range(1, n):
+            preds = rng.choice(j, size=rng.integers(1, j + 1), replace=False)
+            adj[preds, j] = 1
+        gs.append(NAGraph(types=types.astype(np.int32), adj=adj, y=0.0))
+    return gs
+
+
+def _ref_graphs(graphs):
+    out = []
+    for g in graphs:
+        n = len(g.types)
+        src, dst = np.nonzero(g.adj)
+        out.append(FakeData(
+            x=torch.zeros(n, 1),
+            edge_index=torch.tensor(np.stack([src, dst]), dtype=torch.long),
+            vs=[{"type": int(t)} for t in g.types],
+        ))
+    return out
+
+
+@pytest.mark.parametrize("num_layers,agg", [(1, "gated_sum"),
+                                            (2, "gated_sum"),
+                                            (2, "attn_h")])
+def test_loss_matches_actual_reference_dvae_dagnn(ref_mods, num_layers, agg):
+    dag_mod, _ = ref_mods
+    # the reference attention path hardcodes the ENAS graph size in its
+    # pad width (`self.vs-8`, dvae/dagnn.py:226) and crashes for any
+    # max_n != 8 — so the attn config runs at max_n=8
+    max_n = 8 if "attn" in agg else 6
+    cfg = DAGNNVAEConfig(max_n=max_n, nvt=4, hs=10, nz=4,
+                         num_layers=num_layers, agg=agg)
+    rng = np.random.default_rng(17)
+    graphs = _random_na_graphs(rng, cfg, 5)
+    params = dagnn_vae_init(jax.random.PRNGKey(2), cfg)
+
+    tmodel = dag_mod.DAGNN(
+        cfg.nvt, cfg.hs, cfg.hs, cfg.max_n, cfg.nvt, 0, 1, cfg.hs, cfg.nz,
+        num_layers=cfg.num_layers, bidirectional=False, agg=agg,
+        num_nodes=cfg.max_n)
+    _copy_decoder(tmodel, params, cfg)
+    tmodel.eval()  # reparameterize returns mu
+
+    mu = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32)
+    logvar = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        loss_t, res_t, kld_t = tmodel.loss(_t(mu), _t(logvar),
+                                           _ref_graphs(graphs))
+
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    recon, _ = dvae_teacher_loss(
+        params["dec"], cfg.dvae, jnp.asarray(mu), jnp.asarray(types),
+        jnp.asarray(adj), jnp.asarray(nv),
+        attn_params=_decoder_attn_params(params, cfg))
+    recon = float(jnp.sum(recon))
+    k = float(jnp.sum(kld(jnp.asarray(mu), jnp.asarray(logvar))))
+    np.testing.assert_allclose(recon, float(res_t), rtol=2e-5)
+    np.testing.assert_allclose(k, float(kld_t), rtol=2e-5)
