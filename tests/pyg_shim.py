@@ -278,11 +278,14 @@ class _FakeVS:
 
 class FakeData:
     """torch_geometric.data.Data stand-in: attribute bag (base class of
-    the reference Batch; the loss path only reads .x/.edge_index/.vs)."""
+    the reference Batch; the model paths read attributes and call .to)."""
 
     def __init__(self, **kwargs):
         for k, v in kwargs.items():
             setattr(self, k, v)
+
+    def to(self, device):
+        return self
 
 
 def load_reference_dvae_dagnn():

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from dagnn_tpu.vae.dagnn_vae import (DAGNNVAEConfig, dagnn_vae_init,
-                                     na_dense_views, _decoder_attn_params)
+                                     na_dense_views, na_collate,
+                                     dagnn_vae_encode, _decoder_attn_params)
 from dagnn_tpu.vae.dvae import dvae_teacher_loss, kld
 from dagnn_tpu.data.na import NAGraph
 
@@ -150,3 +151,113 @@ def test_loss_matches_actual_reference_dvae_dagnn(ref_mods, num_layers, agg):
     k = float(jnp.sum(kld(jnp.asarray(mu), jnp.asarray(logvar))))
     np.testing.assert_allclose(recon, float(res_t), rtol=2e-5)
     np.testing.assert_allclose(k, float(kld_t), rtol=2e-5)
+
+
+def _copy_encoder(tmodel, params, cfg):
+    """Map our encoder tree (dagnn_init of encoder_cfg) into the reference
+    DAGNN(DVAE_PYG) encoder modules (cells_0 == grue_forward etc.)."""
+    enc = params["enc"]
+    for di, cells in enumerate([tmodel.grue_forward] +
+                               ([tmodel.grue_backward]
+                                if cfg.bidirectional else [])):
+        for l in range(cfg.num_layers):
+            _set_gru(cells[l], enc["cells"][di][l])
+        if "attn" in cfg.agg:
+            convs = getattr(tmodel, f"node_aggr_{di}")
+            for l in range(cfg.num_layers):
+                _set_lin(convs[l].attn_lin, enc["aggr"][di][l]["attn_lin"])
+    if cfg.bidirectional:
+        _set_lin(tmodel.hg_unify[0], params["hg_unify"])
+    elif cfg.num_layers > 1:
+        _set_lin(tmodel.out_linear, params["out_linear"])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+
+
+def _ref_encoder_batch(graphs, cfg, ref_dag_utils):
+    """Hand-batched PyG-style object: what Batch.from_data_list produces
+    for the dvae pipeline (batch.py:53-66 — in bi_layer_index only the
+    node-id row gets the cumulative offset; add_order_info stacked form,
+    src/utils_dag.py:70-76). All graphs are fixed-size (D-VAE corpora)."""
+    import types as pytypes
+    nn_sz = cfg.num_nodes
+    xs, eis, bl = [], [], [[], []]
+    for i, g in enumerate(graphs):
+        n = len(g.types)
+        assert n == nn_sz
+        x = np.zeros((n, cfg.nvt), np.float32)
+        x[np.arange(n), g.types] = 1.0
+        xs.append(x)
+        src, dst = np.nonzero(g.adj)
+        eis.append(np.stack([src + i * nn_sz, dst + i * nn_sz]))
+        ns = pytypes.SimpleNamespace(
+            edge_index=torch.tensor(np.stack([src, dst]), dtype=torch.long),
+            num_nodes=n)
+        ref_dag_utils.add_order_info(ns)
+        b = ns.bi_layer_index.clone()       # [2, 2, n]
+        b[:, 1, :] += i * nn_sz             # node-id rows offset
+        bl[0].append(b[0])
+        bl[1].append(b[1])
+    N = nn_sz * len(graphs)
+    return FakeData(
+        x=_t(np.concatenate(xs)),
+        edge_index=torch.tensor(np.concatenate(eis, axis=1),
+                                dtype=torch.long),
+        bi_layer_index=torch.stack([torch.cat(bl[0], dim=1),
+                                    torch.cat(bl[1], dim=1)]),
+        batch=torch.tensor(np.repeat(np.arange(len(graphs)), nn_sz),
+                           dtype=torch.long),
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_dag_utils():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_utils_dag_dvae", f"{REF}/src/utils_dag.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.mark.parametrize("num_layers,agg,bidir",
+                         [(2, "attn_h", False), (2, "gated_sum", False),
+                          (2, "attn_h", True), (1, "gated_sum", True)])
+def test_encode_matches_actual_reference_dvae_dagnn(ref_mods, ref_dag_utils,
+                                                    num_layers, agg, bidir):
+    """mu/logvar of the VAE-coupled encoder vs the ACTUAL dvae/dagnn.py
+    forward (vids concat, fixed-size index-arithmetic readout, hg_unify /
+    out_linear heads — dvae/dagnn.py:104-184)."""
+    dag_mod, _ = ref_mods
+    max_n = 8 if "attn" in agg else 6
+    cfg = DAGNNVAEConfig(max_n=max_n, nvt=4, hs=10, nz=4,
+                         num_layers=num_layers, agg=agg, bidirectional=bidir)
+    rng = np.random.default_rng(23)
+    # fixed-size graphs (the reference readout requires num_nodes == max_n)
+    graphs = []
+    for _ in range(4):
+        g = _random_na_graphs(rng, cfg, 1)[0]
+        while len(g.types) != cfg.max_n:
+            g = _random_na_graphs(rng, cfg, 1)[0]
+        graphs.append(g)
+    params = dagnn_vae_init(jax.random.PRNGKey(5), cfg)
+
+    tmodel = dag_mod.DAGNN(
+        cfg.nvt, cfg.hs, cfg.hs, cfg.max_n, cfg.nvt, 0, 1, cfg.hs, cfg.nz,
+        num_layers=cfg.num_layers, bidirectional=bidir, agg=agg,
+        num_nodes=cfg.max_n)
+    _copy_decoder(tmodel, params, cfg)
+    _copy_encoder(tmodel, params, cfg)
+    tmodel.eval()
+
+    Gb = _ref_encoder_batch(graphs, cfg, ref_dag_utils)
+    with torch.no_grad():
+        hg = tmodel(Gb)
+        mu_t, logvar_t = tmodel.fc1(hg), tmodel.fc2(hg)
+
+    batch, _, _, _ = na_collate(graphs, cfg)
+    mu, logvar = dagnn_vae_encode(params, cfg, batch)
+    np.testing.assert_allclose(np.asarray(mu)[:len(graphs)],
+                               mu_t.numpy(), atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar)[:len(graphs)],
+                               logvar_t.numpy(), atol=2e-5, rtol=2e-4)
