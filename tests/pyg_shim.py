@@ -335,10 +335,11 @@ def load_reference_dvae_dagnn():
         mpyg = _load_as("models_pyg", f"{REF}/dvae/models_pyg.py")
         _load_as("batch", f"{REF}/dvae/batch.py")
         dag = _load_as("ref_dvae_dagnn", f"{REF}/dvae/dagnn.py")
+        dag_bn = _load_as("ref_dvae_dagnn_bn", f"{REF}/dvae/dagnn_bn.py")
     finally:
         for k, old in saved.items():
             if old is None:
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = old
-    return dag, mpyg
+    return dag, mpyg, dag_bn

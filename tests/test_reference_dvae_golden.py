@@ -43,7 +43,12 @@ from pyg_shim import load_reference_dvae_dagnn, FakeData
 
 @pytest.fixture(scope="module")
 def ref_mods():
-    return load_reference_dvae_dagnn()
+    return load_reference_dvae_dagnn()[:2]
+
+
+@pytest.fixture(scope="module")
+def ref_bn_mod():
+    return load_reference_dvae_dagnn()[2]
 
 
 def _t(a):
@@ -72,10 +77,17 @@ def _copy_decoder(tmodel, params, cfg):
     _set_lin(tmodel.add_edge[2], dec["add_edge"]["l2"])
     for l in range(cfg.num_layers):
         _set_gru(tmodel.grud[l], dec["grud"][l])
-        _set_lin(tmodel.gate_forward[l][0], dec["gate_f"][l])
-        _set_lin(tmodel.mapper_forward[l][0], dec["mapper_f"][l])
-        _set_lin(tmodel.gate_backward[l][0], dec["gate_b"][l])
-        _set_lin(tmodel.mapper_backward[l][0], dec["mapper_b"][l])
+        if tmodel.gate_forward[l][0].weight.shape[1] == \
+                dec["gate_f"][l]["w"].shape[1]:
+            _set_lin(tmodel.gate_forward[l][0], dec["gate_f"][l])
+            _set_lin(tmodel.mapper_forward[l][0], dec["mapper_f"][l])
+            _set_lin(tmodel.gate_backward[l][0], dec["gate_b"][l])
+            _set_lin(tmodel.mapper_backward[l][0], dec["mapper_b"][l])
+        else:
+            # BN + attention: the inherited layer-0 gate/mapper are sized
+            # nvt (models_pyg.py:542-555, aggx=0 -> nvt at l==0) but the
+            # attn decoder never uses them — leave uncopied
+            assert "attn" in cfg.agg and cfg.bn
     ap = _decoder_attn_params(params, cfg)
     if ap is not None:
         # decoder attention rides the (shared) encoder layer-0 conv
@@ -260,4 +272,58 @@ def test_encode_matches_actual_reference_dvae_dagnn(ref_mods, ref_dag_utils,
     np.testing.assert_allclose(np.asarray(mu)[:len(graphs)],
                                mu_t.numpy(), atol=2e-5, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(logvar)[:len(graphs)],
+                               logvar_t.numpy(), atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_bn_loss_and_encode_match_actual_reference(ref_bn_mod, ref_dag_utils,
+                                                   bidir):
+    """DAGNN_BN coupling (dvae/dagnn_bn.py) at the production BN config
+    (attn_h): teacher-forced loss + encoder mu/logvar vs the actual
+    reference code. (The BN gated_sum coupling is not runnable upstream:
+    the inherited layer-0 gate is nvt-wide, models_pyg.py:542-555, while
+    the BN decoder aggregates hs-wide states, dvae/dagnn_bn.py:202-224.)"""
+    cfg = DAGNNVAEConfig(max_n=6, nvt=4, hs=10, nz=4, num_layers=2,
+                         agg="attn_h", bidirectional=bidir, bn=True)
+    rng = np.random.default_rng(31)
+    graphs = []
+    for _ in range(4):
+        g = _random_na_graphs(rng, cfg, 1)[0]
+        while len(g.types) != cfg.max_n:
+            g = _random_na_graphs(rng, cfg, 1)[0]
+        graphs.append(g)
+    params = dagnn_vae_init(jax.random.PRNGKey(7), cfg)
+
+    tmodel = ref_bn_mod.DAGNN_BN(
+        cfg.nvt, cfg.hs, cfg.hs, cfg.max_n, cfg.nvt, 0, 1, cfg.hs, cfg.nz,
+        num_layers=cfg.num_layers, bidirectional=bidir, agg="attn_h",
+        num_nodes=cfg.max_n)
+    _copy_decoder(tmodel, params, cfg)
+    _copy_encoder(tmodel, params, cfg)
+    tmodel.eval()
+
+    # loss (teacher-forced, z == mu in eval mode)
+    mu = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32)
+    logvar = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        _, res_t, kld_t = tmodel.loss(_t(mu), _t(logvar),
+                                      _ref_graphs(graphs))
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    recon, _ = dvae_teacher_loss(
+        params["dec"], cfg.dvae, jnp.asarray(mu), jnp.asarray(types),
+        jnp.asarray(adj), jnp.asarray(nv),
+        attn_params=_decoder_attn_params(params, cfg))
+    np.testing.assert_allclose(float(jnp.sum(recon)), float(res_t),
+                               rtol=2e-5)
+
+    # encode
+    Gb = _ref_encoder_batch(graphs, cfg, ref_dag_utils)
+    with torch.no_grad():
+        hg = tmodel(Gb)
+        mu_t, logvar_t = tmodel.fc1(hg), tmodel.fc2(hg)
+    batch, _, _, _ = na_collate(graphs, cfg)
+    mu2, logvar2 = dagnn_vae_encode(params, cfg, batch)
+    np.testing.assert_allclose(np.asarray(mu2)[:len(graphs)], mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar2)[:len(graphs)],
                                logvar_t.numpy(), atol=2e-5, rtol=2e-4)
