@@ -189,12 +189,15 @@ def load_dataset(args, task: str):
             print(f"real ogbg-code2 unavailable: {e}\n"
                   f"-> falling back to synthetic AST data")
     n = args.synthetic or 300
-    graphs = synthetic_ast_batch(args.seed, n,
-                                 mean_nodes=args.synthetic_mean_nodes,
-                                 targets=args.synthetic_targets,
-                                 num_attrs=args.synthetic_num_attrs,
-                                 vocab=args.num_vocab + 2,
-                                 seq_len=args.max_seq_len)
+    # getattr defaults: drivers with reduced flag surfaces (main_basic)
+    # share this loader
+    graphs = synthetic_ast_batch(
+        args.seed, n,
+        mean_nodes=getattr(args, "synthetic_mean_nodes", 60),
+        targets=getattr(args, "synthetic_targets", "random"),
+        num_attrs=getattr(args, "synthetic_num_attrs", 10030),
+        vocab=args.num_vocab + 2,
+        seq_len=args.max_seq_len)
     for g in graphs:
         g.y["len_longest_path"] = np.asarray(
             min(g.len_longest_path, LP_NUM_CLASSES - 1), np.int32)

@@ -268,12 +268,28 @@ class FakeIGraph:
         return _FakeVS(self)
 
 
+class _FakeVertex:
+    def __init__(self, index):
+        self.index = index
+
+
 class _FakeVS:
     def __init__(self, g):
         self._g = g
 
     def __getitem__(self, v):
         return self._g._vattrs[v]
+
+    def __delitem__(self, name):
+        # igraph `del g.vs['attr']` semantics: drop from every vertex
+        for d in self._g._vattrs:
+            d.pop(name, None)
+
+    def select(self, _outdegree_eq=None):
+        # only the decode loose-end query is used (models_pyg.py:383)
+        assert _outdegree_eq is not None
+        return [_FakeVertex(i) for i in range(self._g.vcount())
+                if len(self._g._succ[i]) == _outdegree_eq]
 
 
 class FakeData:

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from dagnn_tpu.vae.dagnn_vae import (DAGNNVAEConfig, dagnn_vae_init,
                                      na_dense_views, na_collate,
                                      dagnn_vae_encode, _decoder_attn_params)
-from dagnn_tpu.vae.dvae import dvae_teacher_loss, kld
+from dagnn_tpu.vae.dvae import dvae_teacher_loss, dvae_decode, kld
 from dagnn_tpu.data.na import NAGraph
 
 from pyg_shim import load_reference_dvae_dagnn, FakeData
@@ -327,3 +327,41 @@ def test_bn_loss_and_encode_match_actual_reference(ref_bn_mod, ref_dag_utils,
                                atol=2e-5, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(logvar2)[:len(graphs)],
                                logvar_t.numpy(), atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("agg", ["gated_sum", "attn_h"])
+def test_greedy_decode_matches_actual_reference(ref_mods, agg):
+    """Deterministic (argmax) decode chain vs the actual reference decode
+    (models_pyg.py:338-396): identical vertex types and adjacency for the
+    same z — the structure the BO pipeline scores."""
+    dag_mod, _ = ref_mods
+    max_n = 8 if "attn" in agg else 6
+    cfg = DAGNNVAEConfig(max_n=max_n, nvt=4, hs=10, nz=4,
+                         num_layers=2, agg=agg)
+    rng = np.random.default_rng(41)
+    params = dagnn_vae_init(jax.random.PRNGKey(11), cfg)
+    tmodel = dag_mod.DAGNN(
+        cfg.nvt, cfg.hs, cfg.hs, cfg.max_n, cfg.nvt, 0, 1, cfg.hs, cfg.nz,
+        num_layers=cfg.num_layers, bidirectional=False, agg=agg,
+        num_nodes=cfg.max_n)
+    _copy_decoder(tmodel, params, cfg)
+    tmodel.eval()
+
+    z = rng.normal(size=(6, cfg.nz)).astype(np.float32)
+    with torch.no_grad():
+        ref_gs = tmodel.decode(_t(z), stochastic=False)
+    types, adj, nv = dvae_decode(params["dec"], cfg.dvae, jnp.asarray(z),
+                                 stochastic=False,
+                                 attn_params=_decoder_attn_params(params,
+                                                                  cfg))
+    types, adj, nv = (np.asarray(types), np.asarray(adj), np.asarray(nv))
+    for i, g in enumerate(ref_gs):
+        n = g.vcount()
+        assert n == int(nv[i]), (i, n, nv[i])
+        ref_types = [g.vs[v]["type"] for v in range(n)]
+        np.testing.assert_array_equal(types[i, :n], ref_types)
+        ref_adj = np.zeros((n, n), np.uint8)
+        for u in range(n):
+            for v in g.successors(u):
+                ref_adj[u, v] = 1
+        np.testing.assert_array_equal(adj[i, :n, :n], ref_adj)
