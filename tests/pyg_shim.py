@@ -292,6 +292,23 @@ class _FakeVS:
                 if len(self._g._succ[i]) == _outdegree_eq]
 
 
+def _graph_get_adjlist(self, mode):
+    # igraph.Graph.get_adjlist: 2 == igraph.IN (predecessors), 1 == OUT
+    return list(self._pred if mode == 2 else self._succ)
+
+
+def _graph_copy(self):
+    g = FakeIGraph()
+    g._vattrs = [dict(d) for d in self._vattrs]
+    g._pred = [list(p) for p in self._pred]
+    g._succ = [list(p) for p in self._succ]
+    return g
+
+
+FakeIGraph.get_adjlist = _graph_get_adjlist
+FakeIGraph.copy = _graph_copy
+
+
 class FakeData:
     """torch_geometric.data.Data stand-in: attribute bag (base class of
     the reference Batch; the model paths read attributes and call .to)."""
@@ -349,6 +366,7 @@ def load_reference_dvae_dagnn():
             return mod
 
         mpyg = _load_as("models_pyg", f"{REF}/dvae/models_pyg.py")
+        mig = _load_as("ref_dvae_models", f"{REF}/dvae/models.py")
         _load_as("batch", f"{REF}/dvae/batch.py")
         dag = _load_as("ref_dvae_dagnn", f"{REF}/dvae/dagnn.py")
         dag_bn = _load_as("ref_dvae_dagnn_bn", f"{REF}/dvae/dagnn_bn.py")
@@ -358,4 +376,4 @@ def load_reference_dvae_dagnn():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = old
-    return dag, mpyg, dag_bn
+    return dag, mpyg, dag_bn, mig

@@ -47,6 +47,11 @@ def ref_mods():
 
 
 @pytest.fixture(scope="module")
+def ref_igraph_models():
+    return load_reference_dvae_dagnn()[3]
+
+
+@pytest.fixture(scope="module")
 def ref_bn_mod():
     return load_reference_dvae_dagnn()[2]
 
@@ -365,3 +370,79 @@ def test_greedy_decode_matches_actual_reference(ref_mods, agg):
             for v in g.successors(u):
                 ref_adj[u, v] = 1
         np.testing.assert_array_equal(adj[i, :n, :n], ref_adj)
+
+
+def _fake_igraphs(graphs):
+    """NAGraphs -> FakeIGraph objects (what models.py consumes)."""
+    from pyg_shim import FakeIGraph
+    out = []
+    for g in graphs:
+        ig = FakeIGraph(directed=True)
+        for t_ in g.types:
+            ig.add_vertex(type=int(t_))
+        src, dst = np.nonzero(g.adj)
+        for u, v in zip(src, dst):
+            ig.add_edge(int(u), int(v))
+        out.append(ig)
+    return out
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_original_igraph_dvae_matches(ref_igraph_models, bidir):
+    """The ORIGINAL igraph D-VAE (dvae/models.py:536, the NA headline
+    baseline): encoder mu/logvar and teacher-forced loss vs
+    dvae_encode_sequential / dvae_teacher_loss with copied weights
+    (single-layer GRUs, shared encoder/decoder gated-sum gates, vids)."""
+    from dagnn_tpu.vae.dvae import (DVAEConfig, dvae_base_init,
+                                    dvae_encode_sequential)
+    cfg = DVAEConfig(max_n=6, nvt=4, hs=10, nz=4, num_layers=1,
+                     bidirectional=bidir, vid=True)
+    rng = np.random.default_rng(47)
+
+    class _C:  # reuse _random_na_graphs' cfg surface
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    params = dvae_base_init(jax.random.PRNGKey(13), cfg)
+
+    tmodel = ref_igraph_models.DVAE(cfg.max_n, cfg.nvt, 0, 1, hs=cfg.hs,
+                                    nz=cfg.nz, bidirectional=bidir,
+                                    vid=True)
+    dec = params["dec"]
+    _set_gru(tmodel.grue_forward, params["grue_f"][0])
+    _set_gru(tmodel.grue_backward, params["grue_b"][0])
+    _set_gru(tmodel.grud, dec["grud"][0])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    _set_lin(tmodel.fc3, dec["fc3"])
+    _set_lin(tmodel.add_vertex[0], dec["add_vertex"]["l1"])
+    _set_lin(tmodel.add_vertex[2], dec["add_vertex"]["l2"])
+    _set_lin(tmodel.add_edge[0], dec["add_edge"]["l1"])
+    _set_lin(tmodel.add_edge[2], dec["add_edge"]["l2"])
+    _set_lin(tmodel.gate_forward[0], dec["gate_f"][0])
+    _set_lin(tmodel.mapper_forward[0], dec["mapper_f"][0])
+    _set_lin(tmodel.gate_backward[0], dec["gate_b"][0])
+    _set_lin(tmodel.mapper_backward[0], dec["mapper_b"][0])
+    if bidir:
+        _set_lin(tmodel.hg_unify[0], params["hg_unify"])
+    tmodel.eval()
+
+    igs = _fake_igraphs(graphs)
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(igs)
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    mu, logvar = dvae_encode_sequential(
+        params, cfg, jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv))
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+
+    z = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32)
+    with torch.no_grad():
+        _, res_t, _ = tmodel.loss(_t(z), torch.zeros(len(graphs), cfg.nz),
+                                  igs)
+    recon, _ = dvae_teacher_loss(dec, cfg, jnp.asarray(z),
+                                 jnp.asarray(types), jnp.asarray(adj),
+                                 jnp.asarray(nv))
+    np.testing.assert_allclose(float(jnp.sum(recon)), float(res_t),
+                               rtol=2e-5)
