@@ -446,3 +446,63 @@ def test_original_igraph_dvae_matches(ref_igraph_models, bidir):
                                  jnp.asarray(nv))
     np.testing.assert_allclose(float(jnp.sum(recon)), float(res_t),
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_original_igraph_dvae_bn_matches(ref_igraph_models, bidir):
+    """The ORIGINAL igraph DVAE_BN (dvae/models.py:984): aggregates
+    predecessor one-hot TYPES (pred_source='x'), nvt-wide gates, 3-input
+    edge scorer with H0, inner-vertex-sum encoder graph state."""
+    from dagnn_tpu.vae.dvae import (DVAEConfig, dvae_base_init,
+                                    dvae_encode_sequential)
+    cfg = DVAEConfig(max_n=6, nvt=4, hs=10, nz=4, num_layers=1,
+                     bidirectional=bidir, vid=False, bn=True,
+                     pred_source="x")
+    rng = np.random.default_rng(53)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    params = dvae_base_init(jax.random.PRNGKey(17), cfg)
+
+    tmodel = ref_igraph_models.DVAE_BN(cfg.max_n, cfg.nvt, 0, 1, hs=cfg.hs,
+                                       nz=cfg.nz, bidirectional=bidir)
+    dec = params["dec"]
+    _set_gru(tmodel.grue_forward, params["grue_f"][0])
+    _set_gru(tmodel.grue_backward, params["grue_b"][0])
+    _set_gru(tmodel.grud, dec["grud"][0])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    _set_lin(tmodel.fc3, dec["fc3"])
+    _set_lin(tmodel.add_vertex[0], dec["add_vertex"]["l1"])
+    _set_lin(tmodel.add_vertex[2], dec["add_vertex"]["l2"])
+    _set_lin(tmodel.add_edge[0], dec["add_edge"]["l1"])
+    _set_lin(tmodel.add_edge[2], dec["add_edge"]["l2"])
+    _set_lin(tmodel.gate_forward[0], dec["gate_f"][0])
+    _set_lin(tmodel.mapper_forward[0], dec["mapper_f"][0])
+    _set_lin(tmodel.gate_backward[0], dec["gate_b"][0])
+    _set_lin(tmodel.mapper_backward[0], dec["mapper_b"][0])
+    if bidir:
+        _set_lin(tmodel.hg_unify[0], params["hg_unify"])
+    tmodel.eval()
+
+    igs = _fake_igraphs(graphs)
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(igs)
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    mu, logvar = dvae_encode_sequential(
+        params, cfg, jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv))
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+
+    z = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32)
+    with torch.no_grad():
+        _, res_t, _ = tmodel.loss(_t(z), torch.zeros(len(graphs), cfg.nz),
+                                  igs)
+    recon, _ = dvae_teacher_loss(dec, cfg, jnp.asarray(z),
+                                 jnp.asarray(types), jnp.asarray(adj),
+                                 jnp.asarray(nv))
+    np.testing.assert_allclose(float(jnp.sum(recon)), float(res_t),
+                               rtol=2e-5)
