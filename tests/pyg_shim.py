@@ -305,8 +305,22 @@ def _graph_copy(self):
     return g
 
 
+def _graph_neighbors(self, v):
+    # igraph neighbors(): union of in- and out-neighbors (with multiplicity
+    # for multi-edges; the DAGs here have none)
+    return list(self._pred[v]) + list(self._succ[v])
+
+
+def _graph_degree(self, v):
+    return len(self._pred[v]) + len(self._succ[v])
+
+
 FakeIGraph.get_adjlist = _graph_get_adjlist
 FakeIGraph.copy = _graph_copy
+FakeIGraph.neighbors = _graph_neighbors
+FakeIGraph.degree = _graph_degree
+FakeIGraph.indegree = lambda self, v: len(self._pred[v])
+FakeIGraph.outdegree = lambda self, v: len(self._succ[v])
 
 
 class FakeData:

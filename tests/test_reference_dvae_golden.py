@@ -506,3 +506,42 @@ def test_original_igraph_dvae_bn_matches(ref_igraph_models, bidir):
                                  jnp.asarray(nv))
     np.testing.assert_allclose(float(jnp.sum(recon)), float(res_t),
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_original_igraph_dvae_gcn_encode_matches(ref_igraph_models, bidir):
+    """DVAE_GCN encoder (dvae/models.py:887): normalized neighbor sums
+    through per-level MLPs. The reference updates 'H_forward' IN PLACE
+    while sweeping v at each level, so each level is a Gauss-Seidel pass
+    (fresh states for already-visited vertices) — the golden pins that."""
+    from dagnn_tpu.vae.dvae_variants import (DVAEGCNConfig, dvae_gcn_init,
+                                             dvae_gcn_encode)
+    cfg = DVAEGCNConfig(max_n=6, nvt=4, hs=10, nz=4, levels=3,
+                        bidirectional=bidir)
+    rng = np.random.default_rng(59)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    params = dvae_gcn_init(jax.random.PRNGKey(19), cfg)
+
+    tmodel = ref_igraph_models.DVAE_GCN(cfg.max_n, cfg.nvt, 0, 1,
+                                        hs=cfg.hs, nz=cfg.nz,
+                                        bidirectional=bidir,
+                                        levels=cfg.levels)
+    for lv in range(cfg.levels):
+        _set_lin(tmodel.gconv[lv][0], params["gconv"][lv])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    tmodel.eval()
+
+    igs = _fake_igraphs(graphs)
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(igs)
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    mu, logvar = dvae_gcn_encode(
+        params, cfg, jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv))
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
