@@ -323,6 +323,18 @@ FakeIGraph.indegree = lambda self, v: len(self._pred[v])
 FakeIGraph.outdegree = lambda self, v: len(self._succ[v])
 
 
+def _graph_get_adjacency(self):
+    n = self.vcount()
+    m = [[0] * n for _ in range(n)]
+    for u in range(n):
+        for v in self._succ[u]:
+            m[u][v] += 1
+    return types.SimpleNamespace(data=m)
+
+
+FakeIGraph.get_adjacency = _graph_get_adjacency
+
+
 class FakeData:
     """torch_geometric.data.Data stand-in: attribute bag (base class of
     the reference Batch; the model paths read attributes and call .to)."""

@@ -545,3 +545,56 @@ def test_original_igraph_dvae_gcn_encode_matches(ref_igraph_models, bidir):
                                atol=2e-5, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_original_igraph_dvae_fast_loss_matches(ref_igraph_models):
+    """DVAE_fast (dvae/models.py:1097): D-VAE encoder + S-VAE one-shot
+    decoder — CE over teacher types, BCE over padded transposed
+    adjacency rows."""
+    from dagnn_tpu.vae.dvae import DVAEConfig
+    from dagnn_tpu.vae.dvae_variants import dvae_fast_init, _dvae_fast_scores
+    import jax.numpy as jnp
+
+    cfg = DVAEConfig(max_n=6, nvt=4, hs=10, nz=4, num_layers=1, vid=True)
+    rng = np.random.default_rng(61)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    params = dvae_fast_init(jax.random.PRNGKey(23), cfg)
+
+    tmodel = ref_igraph_models.DVAE_fast(cfg.max_n, cfg.nvt, 0, 1,
+                                         hs=cfg.hs, nz=cfg.nz)
+    _set_lin(tmodel.fc3, params["dec"]["fc3"])
+    gp = params["grud_seq"]
+    tmodel.grud.weight_ih_l0.data = _t(gp["w_ih"])
+    tmodel.grud.weight_hh_l0.data = _t(gp["w_hh"])
+    tmodel.grud.bias_ih_l0.data = _t(gp["b_ih"])
+    tmodel.grud.bias_hh_l0.data = _t(gp["b_hh"])
+    _set_lin(tmodel.add_vertex[0], params["add_vertex_seq"]["l1"])
+    _set_lin(tmodel.add_vertex[2], params["add_vertex_seq"]["l2"])
+    _set_lin(tmodel.add_edges[0], params["add_edges_seq"]["l1"])
+    _set_lin(tmodel.add_edges[2], params["add_edges_seq"]["l2"])
+    tmodel.eval()
+
+    z = rng.normal(size=(len(graphs), cfg.nz)).astype(np.float32)
+    igs = _fake_igraphs(graphs)
+    with torch.no_grad():
+        _, res_t, _ = tmodel.loss(_t(z), torch.zeros(len(graphs), cfg.nz),
+                                  igs)
+
+    # our recon at the same z (bypass the encoder/reparameterize)
+    types_a, adj, nv = na_dense_views(graphs, cfg.max_n)
+    types_a, adj, nv = (jnp.asarray(types_a), jnp.asarray(adj),
+                        jnp.asarray(nv))
+    type_scores, edge_scores = _dvae_fast_scores(params, cfg,
+                                                 jnp.asarray(z))
+    vr = jnp.arange(1, cfg.max_n)[None, :]
+    teacher = jnp.where(vr < nv[:, None], types_a[:, 1:], cfg.start_type)
+    logp = jax.nn.log_softmax(type_scores, -1)
+    ce = -jnp.sum(jnp.take_along_axis(logp, teacher[..., None], -1))
+    tgt = jnp.swapaxes(adj, 1, 2)[:, 1:, :-1].astype(jnp.float32)
+    tgt = tgt * (vr < nv[:, None])[..., None]
+    es = jnp.clip(edge_scores, 1e-7, 1 - 1e-7)
+    bce = -jnp.sum(tgt * jnp.log(es) + (1 - tgt) * jnp.log(1 - es))
+    np.testing.assert_allclose(float(ce + bce), float(res_t), rtol=2e-5)
