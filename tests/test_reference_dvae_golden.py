@@ -598,3 +598,67 @@ def test_original_igraph_dvae_fast_loss_matches(ref_igraph_models):
     es = jnp.clip(edge_scores, 1e-7, 1 - 1e-7)
     bce = -jnp.sum(tgt * jnp.log(es) + (1 - tgt) * jnp.log(1 - es))
     np.testing.assert_allclose(float(ce + bce), float(res_t), rtol=2e-5)
+
+
+@pytest.mark.parametrize("bidir,B", [(False, 5), (True, 1)])
+def test_original_svae_matches(ref_igraph_models, bidir, B):
+    """SVAE string-VAE (dvae/models.py:18): GRU encoder over
+    [B, max_n-1, nvt+max_n-1] string tensors + one-shot GRU decoder.
+    Upstream note: bidirectional encode reshapes Hn [2,B,h] with
+    `Hn.view(Hn.shape[1], -1)` (models.py:111), which interleaves BATCH
+    and direction for B > 1 (graph states mix across graphs) — correct
+    only at B == 1, so the bidirectional golden runs there; our
+    implementation concatenates per-graph direction states.
+    """
+    from dagnn_tpu.vae.svae import (SVAEConfig, svae_init, svae_encode,
+                                    svae_loss, graph_to_string_tensor)
+    cfg = SVAEConfig(max_n=6, nvt=4, hs=10, nz=4, bidirectional=bidir)
+    rng = np.random.default_rng(67)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, B)
+    G = jnp.asarray(np.stack(
+        [graph_to_string_tensor(g, cfg) for g in graphs]))
+    params = svae_init(jax.random.PRNGKey(29), cfg)
+
+    tmodel = ref_igraph_models.SVAE(cfg.max_n, cfg.nvt, 0, 1, hs=cfg.hs,
+                                    nz=cfg.nz, bidirectional=bidir)
+    gp = params["grue"]
+    tmodel.grue.weight_ih_l0.data = _t(gp["w_ih"])
+    tmodel.grue.weight_hh_l0.data = _t(gp["w_hh"])
+    tmodel.grue.bias_ih_l0.data = _t(gp["b_ih"])
+    tmodel.grue.bias_hh_l0.data = _t(gp["b_hh"])
+    if bidir:
+        gb = params["grue_b"]
+        tmodel.grue.weight_ih_l0_reverse.data = _t(gb["w_ih"])
+        tmodel.grue.weight_hh_l0_reverse.data = _t(gb["w_hh"])
+        tmodel.grue.bias_ih_l0_reverse.data = _t(gb["b_ih"])
+        tmodel.grue.bias_hh_l0_reverse.data = _t(gb["b_hh"])
+        _set_lin(tmodel.hg_unify[0], params["hg_unify"])
+    gd = params["grud"]
+    tmodel.grud.weight_ih_l0.data = _t(gd["w_ih"])
+    tmodel.grud.weight_hh_l0.data = _t(gd["w_hh"])
+    tmodel.grud.bias_ih_l0.data = _t(gd["b_ih"])
+    tmodel.grud.bias_hh_l0.data = _t(gd["b_hh"])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    _set_lin(tmodel.fc3, params["fc3"])
+    _set_lin(tmodel.add_vertex[0], params["add_vertex"]["l1"])
+    _set_lin(tmodel.add_vertex[2], params["add_vertex"]["l2"])
+    _set_lin(tmodel.add_edges[0], params["add_edges"]["l1"])
+    _set_lin(tmodel.add_edges[2], params["add_edges"]["l2"])
+    tmodel.eval()
+
+    Gt = _t(np.asarray(G))
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(Gt)
+        _, res_t, _ = tmodel.loss(mu_t, logvar_t, Gt)
+    mu, logvar = svae_encode(params, cfg, G)
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    _, recon, _ = svae_loss(params, cfg, G, jax.random.PRNGKey(0),
+                            training=False)
+    np.testing.assert_allclose(float(recon), float(res_t), rtol=2e-5)
