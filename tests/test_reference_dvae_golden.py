@@ -662,3 +662,52 @@ def test_original_svae_matches(ref_igraph_models, bidir, B):
     _, recon, _ = svae_loss(params, cfg, G, jax.random.PRNGKey(0),
                             training=False)
     np.testing.assert_allclose(float(recon), float(res_t), rtol=2e-5)
+
+
+def test_original_svae_graphrnn_loss_matches(ref_igraph_models):
+    """SVAE_GraphRNN teacher-forced loss (dvae/models.py:299-330):
+    graph-level GRU over shifted true rows + per-vertex edge-level GRU
+    over shifted connection bits."""
+    from dagnn_tpu.vae.svae import (SVAEConfig, svae_init, svae_encode,
+                                    svae_loss, graph_to_string_tensor)
+    cfg = SVAEConfig(max_n=6, nvt=4, hs=10, nz=4, graphrnn=True)
+    rng = np.random.default_rng(71)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    G = jnp.asarray(np.stack(
+        [graph_to_string_tensor(g, cfg) for g in graphs]))
+    params = svae_init(jax.random.PRNGKey(31), cfg)
+
+    tmodel = ref_igraph_models.SVAE_GraphRNN(cfg.max_n, cfg.nvt, 0, 1,
+                                             hs=cfg.hs, nz=cfg.nz)
+
+    def _set_gru_mod(mod, gp):
+        mod.weight_ih_l0.data = _t(gp["w_ih"])
+        mod.weight_hh_l0.data = _t(gp["w_hh"])
+        mod.bias_ih_l0.data = _t(gp["b_ih"])
+        mod.bias_hh_l0.data = _t(gp["b_hh"])
+
+    _set_gru_mod(tmodel.grue, params["grue"])
+    _set_gru_mod(tmodel.grud, params["grud"])
+    _set_gru_mod(tmodel.grud_edge, params["grud_edge"])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    _set_lin(tmodel.fc3, params["fc3"])
+    _set_lin(tmodel.add_vertex[0], params["add_vertex"]["l1"])
+    _set_lin(tmodel.add_vertex[2], params["add_vertex"]["l2"])
+    _set_lin(tmodel.add_edge[0], params["add_edge"]["l1"])
+    _set_lin(tmodel.add_edge[2], params["add_edge"]["l2"])
+    tmodel.eval()
+
+    Gt = _t(np.asarray(G))
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(Gt)
+        _, res_t, _ = tmodel.loss(mu_t, logvar_t, Gt)
+    mu, logvar = svae_encode(params, cfg, G)
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    _, recon, _ = svae_loss(params, cfg, G, jax.random.PRNGKey(0),
+                            training=False)
+    np.testing.assert_allclose(float(recon), float(res_t), rtol=2e-5)
