@@ -278,7 +278,17 @@ class _FakeVS:
         self._g = g
 
     def __getitem__(self, v):
+        # int -> per-vertex attribute dict; str -> list of that attribute
+        # across vertices (igraph vs['name'] semantics)
+        if isinstance(v, str):
+            return [d[v] for d in self._g._vattrs]
         return self._g._vattrs[v]
+
+    def __setitem__(self, name, values):
+        # igraph `g.vs['attr'] = list` bulk assignment
+        assert isinstance(name, str) and len(values) == self._g.vcount()
+        for d, val in zip(self._g._vattrs, values):
+            d[name] = val
 
     def __delitem__(self, name):
         # igraph `del g.vs['attr']` semantics: drop from every vertex

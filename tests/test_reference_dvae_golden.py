@@ -711,3 +711,46 @@ def test_original_svae_graphrnn_loss_matches(ref_igraph_models):
     _, recon, _ = svae_loss(params, cfg, G, jax.random.PRNGKey(0),
                             training=False)
     np.testing.assert_allclose(float(recon), float(res_t), rtol=2e-5)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_original_deepgmg_encode_matches(ref_igraph_models, bidir):
+    """DVAE_DeepGMG encoder (dvae/models.py:1182): finit vertex init,
+    Te Jacobi message rounds of fe([H_nbr, dir, Hv]) sums + per-round
+    GRUs, gated-sum graph state."""
+    from dagnn_tpu.vae.dvae_variants import (DeepGMGConfig, deepgmg_init,
+                                             deepgmg_encode)
+    cfg = DeepGMGConfig(max_n=6, nvt=4, hs=10, nz=4, Te=3, Td=3,
+                        bidirectional=bidir)
+    rng = np.random.default_rng(73)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    params = deepgmg_init(jax.random.PRNGKey(37), cfg)
+
+    tmodel = ref_igraph_models.DVAE_DeepGMG(
+        cfg.max_n, cfg.nvt, 0, 1, hs=cfg.hs, nz=cfg.nz,
+        bidirectional=bidir, Td=cfg.Td, Te=cfg.Te)
+    for t_ in range(cfg.Te):
+        _set_gru(tmodel.grue[t_], params["grue"][t_])
+    _set_lin(tmodel.fe, params["fe"])
+    _set_lin(tmodel.finit, params["finit"])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    _set_lin(tmodel.gate[0], params["gate"])
+    _set_lin(tmodel.mapper[0], params["mapper"])
+    _set_lin(tmodel.gate_init[0], params["gate_init"])
+    _set_lin(tmodel.mapper_init[0], params["mapper_init"])
+    tmodel.eval()
+
+    igs = _fake_igraphs(graphs)
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(igs)
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    mu, logvar = deepgmg_encode(
+        params, cfg, jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv))
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
+                               atol=2e-5, rtol=2e-4)
