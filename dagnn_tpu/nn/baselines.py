@@ -92,9 +92,15 @@ def mpnn_init(key, cfg: MPNNConfig, dtype=jnp.float32) -> Dict[str, Any]:
 
     if cfg.virtual_node:
         p["vn_emb"] = jnp.zeros((d,), dtype)
+        # Sequential(Linear, BN, ReLU, Linear, BN, ReLU) per VN update
+        # (conv.py:189-190)
         p["vn_mlps"] = [
             {"l1": linear_init(next(ks), d, 2 * d, dtype=dtype),
-             "l2": linear_init(next(ks), 2 * d, d, dtype=dtype)}
+             "bn1_scale": jnp.ones(2 * d, dtype),
+             "bn1_bias": jnp.zeros(2 * d, dtype),
+             "l2": linear_init(next(ks), 2 * d, d, dtype=dtype),
+             "bn2_scale": jnp.ones(d, dtype),
+             "bn2_bias": jnp.zeros(d, dtype)}
             for _ in range(cfg.num_layers - 1)
         ]
 
@@ -185,12 +191,18 @@ def mpnn_forward(params, cfg: MPNNConfig, batch: DAGBatch,
     if cfg.virtual_node:
         vn = jnp.broadcast_to(params["vn_emb"], (G + 1, cfg.emb_dim))
 
+    # real-graph mask for VN batch norms (pad slots excluded)
+    gmask = jnp.concatenate([jnp.asarray(batch.graph_mask),
+                             jnp.zeros((1,), bool)]) \
+        if cfg.virtual_node else None
+
     hs = [x]
     h = x
     for li, lp in enumerate(params["layers"]):
         if vn is not None:
             h = h + vn[gid]
-        h2 = _conv(lp, cfg, h, batch, n1)
+        h_in = h  # pre-conv state (VN message added) — conv.py:204 h_list
+        h2 = _conv(lp, cfg, h_in, batch, n1)
         h2 = _masked_bn(h2, nmask, lp["out_bn_scale"], lp["out_bn_bias"])
         if li < cfg.num_layers - 1:
             h2 = jax.nn.relu(h2)
@@ -199,11 +211,22 @@ def mpnn_forward(params, cfg: MPNNConfig, batch: DAGBatch,
             keep = 1 - cfg.dropout
             h2 = h2 * jax.random.bernoulli(k, keep, h2.shape) / keep
         if cfg.residual:
-            h2 = h2 + h
+            h2 = h2 + h_in
         if vn is not None and li < cfg.num_layers - 1:
-            pooled = segment_sum(h2, gid, G + 1, nmask) + vn
+            # VN update pools the PRE-conv states (conv.py:223)
+            pooled = segment_sum(h_in, gid, G + 1, nmask) + vn
             mlp = params["vn_mlps"][li]
-            vn = jax.nn.relu(linear(mlp["l2"], jax.nn.relu(linear(mlp["l1"], pooled))))
+            z = linear(mlp["l1"], pooled)
+            z = jax.nn.relu(_masked_bn(z, gmask, mlp["bn1_scale"],
+                                       mlp["bn1_bias"]))
+            z = linear(mlp["l2"], z)
+            z = jax.nn.relu(_masked_bn(z, gmask, mlp["bn2_scale"],
+                                       mlp["bn2_bias"]))
+            if train and cfg.dropout > 0 and rng is not None:
+                rng, k = jax.random.split(rng)
+                keep = 1 - cfg.dropout
+                z = z * jax.random.bernoulli(k, keep, z.shape) / keep
+            vn = vn + z if cfg.residual else z
         h = h2
         hs.append(h)
 

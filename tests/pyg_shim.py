@@ -53,6 +53,20 @@ def _scatter_max(src, index, dim_size):
     return torch.where(torch.isinf(out), torch.zeros_like(out), out)
 
 
+def pyg_degree(index, num_nodes=None, dtype=None):
+    n = num_nodes if num_nodes is not None else int(index.max()) + 1
+    out = torch.zeros(n, dtype=dtype or torch.float32)
+    out.index_add_(0, index, torch.ones(index.shape[0], dtype=out.dtype))
+    return out
+
+
+def scatter_mean(src, index, dim=0, dim_size=None):
+    s = scatter_add(src, index, dim, dim_size=dim_size)
+    cnt = scatter_add(torch.ones(src.shape[0], 1, dtype=src.dtype), index,
+                      dim, dim_size=s.shape[0])
+    return s / cnt.clamp(min=1)
+
+
 def pyg_softmax(src, index, ptr=None, num_nodes=None):
     """torch_geometric.utils.softmax: segment softmax grouped by ``index``."""
     n = num_nodes if num_nodes is not None else int(index.max()) + 1
@@ -163,18 +177,24 @@ def _mk(name, **attrs):
 
 def _install_shim_modules():
     tg = _mk("torch_geometric")
+    class _Unused(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
     tg_nn = _mk("torch_geometric.nn",
                 MessagePassing=MessagePassing,
                 global_add_pool=global_add_pool,
                 global_mean_pool=global_mean_pool,
-                global_max_pool=global_max_pool)
+                global_max_pool=global_max_pool,
+                GlobalAttention=_Unused, Set2Set=_Unused)
     tg_glob = _mk("torch_geometric.nn.glob",
                   global_add_pool=global_add_pool,
                   global_mean_pool=global_mean_pool,
                   global_max_pool=global_max_pool)
     tg_glob.__all__ = ["global_add_pool", "global_mean_pool", "global_max_pool"]
     tg_inits = _mk("torch_geometric.nn.inits", uniform=uniform, glorot=glorot)
-    tg_utils = _mk("torch_geometric.utils", softmax=pyg_softmax)
+    tg_utils = _mk("torch_geometric.utils", softmax=pyg_softmax,
+                   degree=pyg_degree)
     tg_typing = _mk("torch_geometric.typing", OptTensor=type(None))
     tg_typing.OptTensor = torch.Tensor  # annotation only
     tg_nn.glob = tg_glob
@@ -182,7 +202,8 @@ def _install_shim_modules():
     tg.nn = tg_nn
     tg.utils = tg_utils
     tg.typing = tg_typing
-    ts = _mk("torch_scatter", scatter_add=scatter_add)
+    ts = _mk("torch_scatter", scatter_add=scatter_add,
+             scatter_mean=scatter_mean)
 
     mods = {
         "torch_geometric": tg,
@@ -413,3 +434,36 @@ def load_reference_dvae_dagnn():
             else:
                 sys.modules[k] = old
     return dag, mpyg, dag_bn, mig
+
+
+def load_reference_baseline_gnn():
+    """Load model/conv.py + model/gnn.py (OGB baseline GIN/GCN +-
+    virtual node) verbatim. Returns the gnn module."""
+    shims = _install_shim_modules()
+    model_pkg = types.ModuleType("model")
+    model_pkg.__path__ = []
+    saved = {}
+    inject = dict(shims)
+    inject["model"] = model_pkg
+    for k, v in inject.items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        def _load_as(name, path):
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            saved.setdefault(name, None)
+            spec.loader.exec_module(mod)
+            return mod
+
+        conv = _load_as("model.conv", f"{REF}/ogbg-code/model/conv.py")
+        model_pkg.conv = conv
+        gnn = _load_as("ref_baseline_gnn", f"{REF}/ogbg-code/model/gnn.py")
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = old
+    return gnn
