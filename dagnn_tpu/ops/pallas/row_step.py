@@ -300,11 +300,11 @@ def _row_fwd_kernel(static, names, refs):
     has_ea, hdim, nlayers, emit_res, ndirs = static
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
-    n_out = 4 if emit_res else 1
+    n_out = 3 if emit_res else 1
     wref = _DictRefs(names, rest[:-n_out])
     out_ref = rest[-n_out]
     if emit_res:
-        kall_ref, a32_ref, nres_ref = rest[-3:]
+        a32_ref, nres_ref = rest[-2:]
     kn = xin_ref.shape[0] // ndirs
     ke = vals_ref.shape[0] // ndirs
     for d in range(ndirs):
@@ -331,10 +331,11 @@ def _row_fwd_kernel(static, names, refs):
             out_ref[ns, l * hdim:(l + 1) * hdim] = out
             if emit_res:
                 # stream the backward's residuals (see fused_row_backward):
-                # k / alpha32 per edge, (agg, r, z, n, h_n) per slot
-                k_l, _alpha, alpha32, agg, r, z, n, h_n = res
-                kall_ref[es, l * hdim:(l + 1) * hdim] = k_l.astype(
-                    kall_ref.dtype)
+                # alpha32 per edge, (agg, r, z, n, h_n) per slot. k is NOT
+                # streamed: the backward recomputes it from the vals stream
+                # + the tiny [Ke,R]x[R,A] encoder matmul (bitwise the same
+                # expression), saving ~2x[Ke,L*H] of HBM traffic per row.
+                _k_l, _alpha, alpha32, agg, r, z, n, h_n = res
                 a32_ref[es, l:l + 1] = alpha32
                 for i, t in enumerate((agg, r, z, n, h_n)):
                     col = (5 * l + i) * hdim
@@ -353,8 +354,8 @@ def _row_bwd_kernel(static, names, refs):
     pos = nw
     res_refs = None
     if use_res:
-        res_refs = rest[pos:pos + 3]
-        pos += 3
+        res_refs = rest[pos:pos + 2]
+        pos += 2
     if merge_tg:
         g_ref, tg_ref, tdst_ref, tmask_ref = rest[pos:pos + 4]
         pos += 4
@@ -404,15 +405,21 @@ def _row_bwd_kernel(static, names, refs):
         curs, qs, resids, aggps, cellps = [], [], [], [], []
         if use_res:
             # residuals streamed from the forward kernel: no recompute; the
-            # layer outputs (cur/q chain) reconstruct from the GRU pieces
-            kall_ref, a32_ref, nres_ref = res_refs
+            # layer outputs (cur/q chain) reconstruct from the GRU pieces.
+            # k is rebuilt from the vals stream (+ encoder when has_ea) —
+            # the identical fwd expression, so bitwise the same value.
+            a32_ref, nres_ref = res_refs
             for l in range(nlayers):
-                aggps.append({k: wsel(f"a{l}_{k}")
-                              for k in agg_keys(has_ea, rows=True)})
+                aggp = {k: wsel(f"a{l}_{k}")
+                        for k in agg_keys(has_ea, rows=True)}
+                aggps.append(aggp)
                 cellps.append({k: wsel(f"c{l}_{k}") for k in CELL_KEYS})
                 curs.append(cur)
                 qs.append(q)
-                k_l = kall_ref[es, l * hdim:(l + 1) * hdim]
+                k_l = vals[:, l * hdim:(l + 1) * hdim]
+                if has_ea:
+                    k_l = (k_l.astype(_F32) + _dg(ea, aggp["we"], 1, 1)
+                           + aggp["be"].astype(_F32)).astype(dt)
                 alpha32 = a32_ref[es, l:l + 1]
                 parts = [nres_ref[ns,
                                   (5 * l + i) * hdim:(5 * l + i + 1) * hdim]
@@ -491,9 +498,9 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
 
     static = (has_ea, hidden_dim, num_layers). `weights` is the ordered
     dict from flatten_row_weights. With emit_res=True additionally returns
-    the backward residual streams (k_all [Ke, L*H], alpha32 [Ke, L] f32,
-    nres [Kn, 5*L*H]: agg/r/z/n/h_n per layer) so fused_row_backward can
-    skip its in-kernel forward recompute.
+    the backward residual streams (alpha32 [Ke, L] f32, nres [Kn, 5*L*H]:
+    agg/r/z/n/h_n per layer) so fused_row_backward can skip its in-kernel
+    forward recompute (k is rebuilt there from the vals stream).
 
     ndirs=2 runs the DIRECTION-MERGED row: every per-row operand is a
     concat of per-direction blocks along axis 0 and `weights` values are
@@ -513,7 +520,6 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     out_shape = jax.ShapeDtypeStruct((kn, nlayers * hdim), xin.dtype)
     if emit_res:
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((ke, nlayers * hdim), xin.dtype),
                      jax.ShapeDtypeStruct((ke, nlayers), _F32),
                      jax.ShapeDtypeStruct((kn, 5 * nlayers * hdim),
                                           xin.dtype))
@@ -521,7 +527,7 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(names)),
-        out_specs=(tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4)
+        out_specs=(tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3)
                    if emit_res else pl.BlockSpec(memory_space=pltpu.VMEM)),
         **_call_kw(interpret),
     )
@@ -567,9 +573,9 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     tg    [Kt, L*H] edge grads flowing into this row (caller-gathered
           from the contiguous edge-grad buffer; garbage slots zero)
     tdst  [Kt] local source slot of each transpose edge (pad = Kn)
-    res   optional (k_all, alpha32, nres) residual streams from
+    res   optional (alpha32, nres) residual streams from
           fused_row_forward(emit_res=True) — skips the in-kernel forward
-          recompute.
+          recompute (k is rebuilt from vals + the encoder weights).
     Returns (dx [Kn, emb], dvals [Ke, L*H], dea or None, dw flat dict).
     """
     import os
