@@ -331,14 +331,16 @@ def _row_fwd_kernel(static, names, refs):
             out_ref[ns, l * hdim:(l + 1) * hdim] = out
             if emit_res:
                 # stream the backward's residuals (see fused_row_backward):
-                # alpha32 per edge, (agg, r, z, n, h_n) per slot. k is NOT
-                # streamed: the backward recomputes it from the vals stream
-                # + the tiny [Ke,R]x[R,A] encoder matmul (bitwise the same
-                # expression), saving ~2x[Ke,L*H] of HBM traffic per row.
-                _k_l, _alpha, alpha32, agg, r, z, n, h_n = res
+                # alpha32 per edge, (agg, r, z, n) per slot. k and h_n are
+                # NOT streamed: the backward rebuilds k from the vals stream
+                # + the tiny [Ke,R]x[R,A] encoder matmul and h_n from the
+                # streamed agg via one [Kn,H]x[H,H] matmul — both bitwise
+                # the forward expressions — trading ~3.6MB/row of HBM
+                # write+read at the bench shape for cheap MXU work.
+                _k_l, _alpha, alpha32, agg, r, z, n, _h_n = res
                 a32_ref[es, l:l + 1] = alpha32
-                for i, t in enumerate((agg, r, z, n, h_n)):
-                    col = (5 * l + i) * hdim
+                for i, t in enumerate((agg, r, z, n)):
+                    col = (4 * l + i) * hdim
                     nres_ref[ns, col:col + hdim] = t.astype(nres_ref.dtype)
             cur = out
             q = out
@@ -422,9 +424,13 @@ def _row_bwd_kernel(static, names, refs):
                            + aggp["be"].astype(_F32)).astype(dt)
                 alpha32 = a32_ref[es, l:l + 1]
                 parts = [nres_ref[ns,
-                                  (5 * l + i) * hdim:(5 * l + i + 1) * hdim]
-                         for i in range(5)]
-                agg, r, z, n, h_n = parts
+                                  (4 * l + i) * hdim:(4 * l + i + 1) * hdim]
+                         for i in range(4)]
+                agg, r, z, n = parts
+                # rebuild h_n from agg (the forward's exact expression and
+                # rounding: f32 matmul then cast to the compute dtype)
+                h_n = (_dg(agg, wsel(f"c{l}_w_hn"), 1, 1)
+                       + wsel(f"c{l}_b_hn").astype(_F32)).astype(dt)
                 resids.append((k_l, alpha32.astype(dt), alpha32, agg,
                                r, z, n, h_n))
                 out = (((1.0 - z.astype(_F32)) * n.astype(_F32)
@@ -498,9 +504,10 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
 
     static = (has_ea, hidden_dim, num_layers). `weights` is the ordered
     dict from flatten_row_weights. With emit_res=True additionally returns
-    the backward residual streams (alpha32 [Ke, L] f32, nres [Kn, 5*L*H]:
-    agg/r/z/n/h_n per layer) so fused_row_backward can skip its in-kernel
-    forward recompute (k is rebuilt there from the vals stream).
+    the backward residual streams (alpha32 [Ke, L] f32, nres [Kn, 4*L*H]:
+    agg/r/z/n per layer) so fused_row_backward can skip its in-kernel
+    forward recompute (k and h_n are rebuilt there from the vals/agg
+    streams).
 
     ndirs=2 runs the DIRECTION-MERGED row: every per-row operand is a
     concat of per-direction blocks along axis 0 and `weights` values are
@@ -521,7 +528,7 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     if emit_res:
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((ke, nlayers), _F32),
-                     jax.ShapeDtypeStruct((kn, 5 * nlayers * hdim),
+                     jax.ShapeDtypeStruct((kn, 4 * nlayers * hdim),
                                           xin.dtype))
     fn = pl.pallas_call(
         kernel,
