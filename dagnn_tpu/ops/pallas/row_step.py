@@ -26,6 +26,15 @@ emit_res=True (the training path), the backward consumes the streamed
 residuals and skips its in-kernel forward recompute entirely (v5e:
 25.7 -> 17.9 us/row at the bench shape).
 
+The stream/recompute boundary is measured, not principled: streaming a
+[K, H] tensor costs ~2.9us/row of HBM write+read at the bench shape,
+so intermediates reachable by a SMALL matmul recompute (k: [Ke,R]x[R,A];
+h_n: [Kn,H]x[H,H]) are rebuilt in the backward instead (1.78 -> 1.86M
+edges/s together), while ones needing a full-width gate matmul lose:
+recomputing n via i_n ([Kn,In]x[In,H]) benched 1.83 and replaying the
+whole GRU from alpha32 alone benched 1.73 vs the 1.86M baseline — at
+~27% effective MXU the gate matmuls cost more than the bytes they save.
+
 All matmuls use `dot_general` in Mosaic-supported orientations (NN / NT /
 TN over 2-D operands; the score vectors travel column-form because NT
 against a [1,D] operand does not lower) — no activation transposes
