@@ -114,10 +114,17 @@ def _layer_fwd(aggp, cellp, cur, q, val, ea, P, Pm, emask, nmask, hdim):
     r = jax.nn.sigmoid(grz[:, :hdim])
     z = jax.nn.sigmoid(grz[:, hdim:])
     n = jnp.tanh(i_n + r * h_n)
-    out = ((1.0 - z) * n + z * agg.astype(_F32)) * nmask
+    # round z/n to the compute dtype BEFORE the final combine (identity at
+    # f32): the use_res backward reconstructs this output from the
+    # dt-rounded residual streams, so the combine must read the rounded
+    # values for the rebuild to be BITWISE the forward's output
+    # (tested: test_row_backward_res_stream_is_bitwise_recompute)
+    z_dt, n_dt = z.astype(dt), n.astype(dt)
+    out = ((1.0 - z_dt.astype(_F32)) * n_dt.astype(_F32)
+           + z_dt.astype(_F32) * agg.astype(_F32)) * nmask
     # residuals stored in the compute dtype — halves bwd VMEM residency
-    return out, (k, alpha, alpha32, agg, r.astype(dt), z.astype(dt),
-                 n.astype(dt), h_n.astype(dt))
+    return out, (k, alpha, alpha32, agg, r.astype(dt), z_dt,
+                 n_dt, h_n.astype(dt))
 
 
 def _layer_bwd(aggp, cellp, cur, q, val, ea, P, res, g, hdim):
@@ -192,15 +199,16 @@ CELL_FWD_KEYS = ("w_rz", "w_in", "w_hn", "b_rz", "b_in", "b_hn")
 _CELL_DERIVED = ("w_rz", "w_in", "w_hn", "b_rz", "b_in", "b_hn")
 
 
-def _names(nlayers, has_ea, rows=False, fwd=False):
+def _names(nlayers, has_ea, rows=False, fwd=False, use_res=False):
     """Ordered weight names. fwd=True: the forward kernel's set (fused r/z
     + n-gate views, no canonical w_ih/w_hh). rows=True (backward inputs):
-    canonical + row-form score vectors + the derived views (the in-kernel
-    forward recompute consumes them)."""
+    canonical + row-form score vectors + the derived views the backward
+    actually reads — the use_res path only rebuilds h_n so it takes just
+    (w_hn, b_hn); the recompute path consumes all six."""
     if fwd:
         ck = CELL_FWD_KEYS
     elif rows:
-        ck = CELL_KEYS + _CELL_DERIVED
+        ck = CELL_KEYS + (("w_hn", "b_hn") if use_res else _CELL_DERIVED)
     else:
         ck = CELL_KEYS
     ns = []
@@ -600,7 +608,7 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     assert merge_tg or ndirs == 1, "split-tg path is single-direction only"
     has_ea, hdim, nlayers = static
     use_res = res is not None
-    in_names = _names(nlayers, has_ea, rows=True)   # incl. row-form copies
+    in_names = _names(nlayers, has_ea, rows=True, use_res=use_res)
     out_names = _names(nlayers, has_ea)             # grad'able weights only
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     ea2 = args[2]
