@@ -136,31 +136,39 @@ def main():
         logits = dagnn_forward(p, cfg, b)
         return tok_loss(logits, b.y["y_arr"], b.graph_mask)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, s, b):
+    def one_step(p, s, b):
         loss, grads = jax.value_and_grad(loss_fn)(p, b)
         updates, s = opt.update(grads, s, p)
         p = jax.tree.map(lambda a, u: a + u, p, updates)
         return p, s, loss
 
-    # (an A/B wrapping CHUNK steps in one lax.fori_loop to amortize the
-    # ~350us/call tunnel dispatch measured 0.37x — XLA loses the in-place
-    # state-buffer updates through the outer carry; per-call dispatch with
-    # async enqueue is the right shape)
+    # TWO optimizer steps per dispatch: the tunnel's per-program launch
+    # latency (~2.3-2.9ms) is paid once per jit call, so chaining steps
+    # inside one program amortizes it (measured +0.55ms/step on v5e;
+    # unroll 4/8 gain nothing further). Plain UNROLLED chaining — a
+    # lax.fori_loop variant measured 0.37x in round 2 because XLA loses
+    # the in-place state-buffer updates through the loop carry; inline
+    # chaining keeps every buffer reuse intact.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step2(p, s, b):
+        p, s, _ = one_step(p, s, b)
+        p, s, loss = one_step(p, s, b)
+        return p, s, loss
 
     batch = jax.tree.map(jnp.asarray, batch)
     # warmup / compile
-    params, opt_state, loss = step(params, opt_state, batch)
+    params, opt_state, loss = step2(params, opt_state, batch)
     jax.block_until_ready(loss)
 
-    iters = 10
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, batch)
+        params, opt_state, loss = step2(params, opt_state, batch)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    edges_per_s = n_edges * iters / dt
+    edges_per_s = n_edges * 2 * iters / dt
+    dt = dt / 2  # per-step for the roofline accounting
     print(json.dumps({
         "metric": "edges_per_s_per_chip_fwdbwd",
         "value": round(edges_per_s, 1),

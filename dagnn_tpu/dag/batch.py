@@ -20,7 +20,7 @@ Index conventions inside a collated ``DAGBatch`` with pads N/E/G:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional, Sequence
+from typing import Any, Dict, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -148,6 +148,16 @@ class PadConfig:
     # width of the DAGBatch.out_slots_* arrays. 0 = derive exactly per
     # batch (bucketed loaders should set it for shape stability).
     out_per_graph: int = 0
+    # NEAR/FAR-aware layout (see dag/schedule.py nearfar). Accepts 0 (off),
+    # a single mode applied to both directions ("regions": far-only gather
+    # + far-only transpose; "tgonly": plain layout, near gradients on the
+    # backward carry; 1/True = "regions"), or a (fwd_mode, rev_mode) pair —
+    # e.g. ("regions", "tgonly") when the reverse direction's far-heavy
+    # rows would blow up the regions row width. Row edge/transpose widths
+    # are derived exactly per batch and per direction, so this is for
+    # exact-fit collates (bench, single-config training); bucketed loaders
+    # wanting stable shapes should keep it off.
+    nearfar: Any = 0
 
     @classmethod
     def for_graphs(
@@ -292,6 +302,20 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         tgrad_per_level=pad.tgrad_per_level or None,
         edge_budget=pad.edge_budget or None,
     )
+    nf_common = dict(common)
+    if pad.nearfar:
+        # near/far row widths ("regions" total = far + near padded maxima)
+        # exceed the plain max-edges-per-row measurement and differ per
+        # direction — derive them exactly (see PadConfig.nearfar)
+        m = pad.nearfar
+        m_f, m_r = m if isinstance(m, (tuple, list)) else (m, m)
+        norm = lambda v: "regions" if v in (1, True, "regions") else v
+        common.update(nearfar=norm(m_f), edges_per_level=None,
+                      tgrad_per_level=None)
+        nf_common.update(nearfar=norm(m_r), edges_per_level=None,
+                         tgrad_per_level=None)
+    else:
+        nf_common = common
     if build_schedules:
         node_graph = graph_id[:n].astype(np.int64)
         slvl_f = _staggered(lvl_f[:n], node_graph, len(graphs),
@@ -301,7 +325,7 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
                             pad.nodes_per_level, pad.edge_budget, src,
                             pad.stagger, rdepth=lvl_f[:n], msg_src=dst)
         fwd = build_level_schedule(src, dst, slvl_f, n, **common)
-        rev = build_level_schedule(dst, src, slvl_r, n, **common)
+        rev = build_level_schedule(dst, src, slvl_r, n, **nf_common)
     else:
         empty = np.zeros(0, np.int64)
         fwd = build_level_schedule(empty, empty, np.zeros(0, np.int64), 0, **common)

@@ -69,6 +69,26 @@ class LevelSchedule(NamedTuple):
     tgrad_eslot: Optional[np.ndarray] = None  # [L, Kt] int32 — flat edge slot (row*Ke+col), pad = L*Ke
     tgrad_dst: Optional[np.ndarray] = None    # [L, Kt] int32 — local source slot in [0, Kn], pad = Kn
     tgrad_mask: Optional[np.ndarray] = None   # [L, Kt] bool
+    # NEAR/FAR layout (built with nearfar=True): edges whose source sits in
+    # the IMMEDIATELY preceding row ("near", ~54% of TOK edges under the
+    # critical-path packer) occupy the TAIL of each row's edge slots
+    # ([far_width, far_width+near_count)); far edges the head. The fused
+    # scan then (a) gathers only the far predecessor states from the state
+    # buffer — near states are routed in-kernel from the previous row's
+    # outputs via a one-hot matmul — and (b) excludes near edges from the
+    # transpose schedule: their gradients ride the reverse-scan carry as a
+    # dense [Kn, L*H] block instead of the edge-grad buffer round-trip.
+    # Gathered-row counts (the binding cost of the wavefront on TPU) drop
+    # by the near fraction on both sides.
+    # far width is carried as an EMPTY [far_width, 0] array so it stays a
+    # static shape under jax.tree.map(jnp.asarray, batch) / jit tracing
+    # (an int leaf would become a traced scalar); read via .far_w
+    far_width: Optional[np.ndarray] = None    # [far_width, 0] sentinel; far slots = [0, far_w)
+    edge_nsrc: Optional[np.ndarray] = None    # [L, Ke] int32 — near edges' source slot in the PREVIOUS row ([0, Kn)); far/pad = Kn
+
+    @property
+    def far_w(self) -> Optional[int]:
+        return None if self.far_width is None else int(self.far_width.shape[0])
 
     @property
     def max_levels(self) -> int:
@@ -292,6 +312,8 @@ def build_level_schedule(
     tgrad_per_level: Optional[int] = None,
     balance: bool = True,
     edge_budget: Optional[int] = None,
+    nearfar: bool = False,
+    far_width: Optional[int] = None,
 ) -> LevelSchedule:
     """Build the dense wavefront schedule for one direction.
 
@@ -318,6 +340,21 @@ def build_level_schedule(
             rows*edge_budget are split into EXTRA rows (beyond the node-count
             minimum) targeting ~edge_budget edges per row — trades scan
             length for row width on degree-heavy levels.
+        nearfar: near/far-aware modes (see LevelSchedule field docs).
+            True / "regions": far edges at row slots [0, far_width), near
+            edges (source in the immediately preceding row) after them;
+            `edge_nsrc` carries the near sources' previous-row slots; the
+            transpose schedule covers FAR edges only with flat slots in a
+            [num_rows * far_width] buffer. Total row width far+near can
+            EXCEED the plain max-edges width when far-heavy and near-heavy
+            rows coexist — use "tgonly" for such directions.
+            "tgonly": plain edge layout (row width unchanged, far_width
+            None), but `edge_nsrc` is still emitted and the transpose
+            schedule still excludes near edges (flat slots in the full
+            [num_rows * Ke] buffer) — the backward rides near gradients on
+            the scan carry while the forward gathers full rows.
+        far_width: static far-region width ("regions" only); defaults to
+            the exact per-batch max. `edges_per_level` is the TOTAL width.
     """
     msg_src = np.asarray(msg_src, dtype=np.int64).ravel()
     msg_dst = np.asarray(msg_dst, dtype=np.int64).ravel()
@@ -379,27 +416,57 @@ def build_level_schedule(
         node_row = np.zeros(0, np.int64)
         node_pos = np.zeros(0, np.int64)
 
-    # --- edges: group by (row of target, pos of target) so per-row
-    # segment ids arrive sorted ---
+    # --- edges: group by (row of target, [near/far,] pos of target) so
+    # per-row segment ids arrive sorted (within each region for nearfar) ---
     if E > 0 and (level[msg_src] >= level[msg_dst]).any():
         raise ValueError("edge from level >= target level: invalid schedule input")
     erow = node_row[msg_dst] if E > 0 else np.zeros(0, dtype=np.int64)
     epos_t = node_pos[msg_dst] if E > 0 else np.zeros(0, dtype=np.int64)
-    edge_order = np.lexsort((edge_id, epos_t, erow))
+    regions = nearfar is True or nearfar == "regions"
+    if nearfar and E > 0:
+        e_near = (erow - node_row[msg_src]) == 1
+        edge_order = (np.lexsort((edge_id, epos_t, e_near, erow)) if regions
+                      else np.lexsort((edge_id, epos_t, erow)))
+    else:
+        e_near = np.zeros(E, dtype=bool)
+        edge_order = np.lexsort((edge_id, epos_t, erow))
     e_sorted_row = erow[edge_order]
+    e_sorted_near = e_near[edge_order]
     erow_counts = np.bincount(e_sorted_row, minlength=max(num_rows, 1))
-    ke = int(erow_counts.max()) if E > 0 else 0
     erow_starts = np.zeros(max(num_rows, 1) + 1, dtype=np.int64)
     np.cumsum(erow_counts, out=erow_starts[1:])
-    e_slot = np.arange(E) - erow_starts[e_sorted_row] if E > 0 else np.zeros(0, dtype=np.int64)
+    rank_in_row = (np.arange(E) - erow_starts[e_sorted_row]
+                   if E > 0 else np.zeros(0, dtype=np.int64))
 
     # --- resolve static shapes ---
     R = max_levels if max_levels is not None else num_rows
-    Ke = edges_per_level if edges_per_level is not None else ke
     if num_rows > R:
         raise ValueError(f"schedule needs {num_rows} rows > max_levels={R}")
-    if ke > Ke:
-        raise ValueError(f"row edge width {ke} > edges_per_level={Ke}")
+    if regions:
+        far_counts = np.bincount(e_sorted_row[~e_sorted_near],
+                                 minlength=max(num_rows, 1))
+        near_counts = erow_counts - far_counts
+        kf = int(far_counts.max()) if E > 0 else 0
+        kne = int(near_counts.max()) if E > 0 else 0
+        Kf = far_width if far_width is not None else kf
+        if kf > Kf:
+            raise ValueError(f"far width {kf} > far_width={Kf}")
+        Ke = edges_per_level if edges_per_level is not None else Kf + kne
+        if Kf + kne > Ke:
+            raise ValueError(
+                f"near width {kne} > edges_per_level-far_width={Ke - Kf}")
+        # far edges keep their far-region rank; near edges start at Kf
+        # (sort put far first, so rank - far_count is the near rank)
+        e_slot = np.where(e_sorted_near,
+                          Kf + rank_in_row - far_counts[e_sorted_row],
+                          rank_in_row)
+    else:
+        ke = int(erow_counts.max()) if E > 0 else 0
+        Ke = edges_per_level if edges_per_level is not None else ke
+        if ke > Ke:
+            raise ValueError(f"row edge width {ke} > edges_per_level={Ke}")
+        Kf = Ke
+        e_slot = rank_in_row
 
     node_ids = np.full((R, Kn), n_pad, dtype=np.int32)
     node_mask = np.zeros((R, Kn), dtype=bool)
@@ -426,28 +493,46 @@ def build_level_schedule(
         edge_mask[e_sorted_row, e_slot] = True
 
     # --- transpose schedule: group edges by the ROW OF THEIR SOURCE ---
+    # nearfar: near edges' previous-row source slot (the in-kernel one-hot
+    # routing index); the transpose schedule covers FAR edges only and its
+    # flat slots index a [num_rows * far_width] (far-region) grad buffer.
+    edge_nsrc = None
+    if nearfar:
+        edge_nsrc = np.full((R, Ke), Kn, dtype=np.int32)
+        if E > 0:
+            near_sel = e_sorted_near
+            edge_nsrc[e_sorted_row[near_sel], e_slot[near_sel]] = (
+                node_pos[msg_src[edge_order][near_sel]])
+
     if E > 0:
         src_sorted = msg_src[edge_order]
-        fslot = e_sorted_row * Ke + e_slot            # flat edge slot
-        srow = node_row[src_sorted]
-        spos = node_pos[src_sorted]
+        if nearfar:
+            tsel = ~e_sorted_near
+            # "regions": far-only buffer (unit Kf); "tgonly": full buffer
+            fslot_all = e_sorted_row * Kf + e_slot
+        else:
+            tsel = np.ones(E, dtype=bool)
+            fslot_all = e_sorted_row * Ke + e_slot    # flat edge slot
+        fslot = fslot_all[tsel]
+        srow = node_row[src_sorted[tsel]]
+        spos = node_pos[src_sorted[tsel]]
         torder = np.lexsort((fslot, spos, srow))
         t_row = srow[torder]
         trow_counts = np.bincount(t_row, minlength=max(num_rows, 1))
-        kt = int(trow_counts.max())
+        kt = int(trow_counts.max()) if len(t_row) else 0
         trow_starts = np.zeros(max(num_rows, 1) + 1, dtype=np.int64)
         np.cumsum(trow_counts, out=trow_starts[1:])
-        t_slot = np.arange(E) - trow_starts[t_row]
+        t_slot = np.arange(len(t_row)) - trow_starts[t_row]
     else:
         kt = 0
     Kt = tgrad_per_level if tgrad_per_level is not None else kt
     if kt > Kt:
         raise ValueError(f"transpose row width {kt} > tgrad_per_level={Kt}")
-    eflat_pad = R * Ke
+    eflat_pad = R * (Kf if nearfar else Ke)
     tgrad_eslot = np.full((R, Kt), eflat_pad, dtype=np.int32)
     tgrad_dst = np.full((R, Kt), Kn, dtype=np.int32)
     tgrad_mask = np.zeros((R, Kt), dtype=bool)
-    if E > 0:
+    if E > 0 and len(t_row):
         tgrad_eslot[t_row, t_slot] = fslot[torder]
         tgrad_dst[t_row, t_slot] = spos[torder]
         tgrad_mask[t_row, t_slot] = True
@@ -465,4 +550,6 @@ def build_level_schedule(
         tgrad_eslot=tgrad_eslot,
         tgrad_dst=tgrad_dst,
         tgrad_mask=tgrad_mask,
+        far_width=(np.zeros((Kf, 0), dtype=bool) if regions else None),
+        edge_nsrc=edge_nsrc,
     )

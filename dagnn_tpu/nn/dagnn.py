@@ -327,7 +327,7 @@ def _wavefront(static, params_dir, fxs, ixs):
 
 
 def _init_h(static, fxs):
-    cfg, L, kn = static
+    cfg, L, kn = static[:3]
     if _fused_applicable(cfg):
         # layer-packed: halves the row count of every cross-row gather
         return jnp.zeros((L * kn + 1, cfg.num_layers * cfg.hidden_dim),
@@ -364,7 +364,8 @@ def _fwd_step(static, params_dir, with_vals: bool = False):
     per-row gathered predecessor states as scan ys, so the custom backward
     consumes them as a stream instead of re-gathering from the final
     buffer (the gather is ~half the backward scan's non-kernel cost)."""
-    cfg, L, kn = static
+    cfg, L, kn = static[:3]
+    nf = static[3] if len(static) > 3 else None
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
     fused = _fused_applicable(cfg)
 
@@ -373,14 +374,25 @@ def _fwd_step(static, params_dir, with_vals: bool = False):
         offset = ixs["lvl"] * kn
         if fused:
             from dagnn_tpu.ops.pallas.row_step import fused_row_forward
-            vals = h[ixs["eslot"]]  # [Ke, nl*H] layer-packed
             st = _fused_static(cfg, fxs)
+            kw = dict(emit_res=with_vals)
+            if nf is None:
+                vals = h[ixs["eslot"]]  # [Ke, nl*H] layer-packed
+            else:
+                # NEAR/FAR: "regions" rows gather far-only; near rows are
+                # routed in-kernel from the previous row's output block
+                vals = h[ixs["eslot_v"]]
+                kw.update(nf=nf)
+                if any(e[0] == "r" for e in nf):
+                    prev = jax.lax.dynamic_slice(
+                        h, (jnp.maximum(offset - kn, 0), 0),
+                        (kn, h.shape[1]))
+                    kw.update(nsrc=ixs["nsrc"], prev_out=prev)
             out = fused_row_forward(
                 st, jax.default_backend() != "tpu",
                 fxs["x"], vals, fxs.get("ea") if st[0] else None,
                 ixs["edst"], ixs["emask"], ixs["nmask"],
-                _fused_weights(cfg, params_dir, st[0]),
-                emit_res=with_vals)
+                _fused_weights(cfg, params_dir, st[0]), **kw)
             if with_vals:
                 outs, *res = out
                 h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
@@ -397,6 +409,7 @@ def _fwd_step(static, params_dir, with_vals: bool = False):
 
 def _wavefront_fwd(static, params_dir, fxs, ixs):
     cfg = static[0]
+    nf = static[3] if len(static) > 3 else None
     if _fused_applicable(cfg) and "teslot" in ixs:
         # stream the per-row gathered predecessor states AND the kernel
         # residuals to the backward (one extra HBM write of ~[L, Ke+5Kn,
@@ -405,13 +418,16 @@ def _wavefront_fwd(static, params_dir, fxs, ixs):
         h, (vals_s, res_s) = jax.lax.scan(
             _fwd_step(static, params_dir, with_vals=True),
             _init_h(static, fxs), (fxs, ixs), unroll=_SCAN_UNROLL)
-        return h, (params_dir, fxs, ixs, (vals_s, res_s))
+        # near/far backward also needs h (near vals rebuild from the
+        # previous row's output block)
+        return h, (params_dir, fxs, ixs,
+                   (h, vals_s, res_s) if nf is not None else (vals_s, res_s))
     h = _wavefront(static, params_dir, fxs, ixs)
     return h, (params_dir, fxs, ixs, h)
 
 
 def _wavefront_bwd(static, res, g):
-    cfg, L, kn = static
+    cfg, L, kn = static[:3]
     params_dir, fxs, ixs, h_final = res
     specs = [cfg.aggregator_spec(l) for l in range(cfg.num_layers)]
     if _fused_applicable(cfg):
@@ -487,18 +503,30 @@ def _wavefront_bwd_fused(static, res, g):
     (vals_s), so the only per-row random access left is the transpose-
     schedule gather from the contiguous edge-grad buffer."""
     from dagnn_tpu.ops.pallas.row_step import unflatten_row_weight_grads
-    cfg, L, kn = static
-    params_dir, fxs, ixs, (vals_s, res_s) = res
+    cfg, L, kn = static[:3]
+    nf = static[3] if len(static) > 3 else None
+    params_dir, fxs, ixs, res4 = res
+    if nf is not None:
+        h_all, vals_s, res_s = res4
+    else:
+        h_all = None
+        vals_s, res_s = res4
     st = _fused_static(cfg, fxs)
     has_ea = st[0]
     weights = _fused_weights(cfg, params_dir, has_ea)
     interp = jax.default_backend() != "tpu"
     ke = ixs["eslot"].shape[1]
+    # edge-grad buffer row width: far-only for "regions", full otherwise
+    acc_unit = ((nf[0][2] if nf[0][0] == "r" else nf[0][1])
+                if nf is not None else ke)
     lh = cfg.num_layers * cfg.hidden_dim
 
     def bwd_step(carry, xs):
         from dagnn_tpu.ops.pallas.row_step import fused_row_backward
-        acc, dw_acc = carry
+        if nf is not None:
+            acc, dw_acc, near_g = carry
+        else:
+            acc, dw_acc = carry
         fxs_l, ixs_l, g_out, vals, res_l = xs
         lvl = ixs_l["lvl"]
         tg = acc[ixs_l["teslot"]]            # [Kt, nl*H]; pad slot is zero
@@ -506,22 +534,35 @@ def _wavefront_bwd_fused(static, res, g):
         # full [L*Ke+1, nl*H] carry) INTO the pallas custom-call and
         # stack-allocates the whole source in scoped VMEM -> compile OOM
         tg = jax.lax.optimization_barrier(tg)
-        dx, dvals, dea, dw = fused_row_backward(
+        kw = dict(res=res_l)
+        if nf is not None:
+            kw.update(nf=nf, nsrc=ixs_l["nsrc"], near_g=near_g)
+            if any(e[0] == "r" for e in nf):
+                kw.update(prev_out=jax.lax.dynamic_slice(
+                    h_all, (jnp.maximum((lvl - 1) * kn, 0), 0),
+                    (kn, h_all.shape[1])))
+        out = fused_row_backward(
             st, interp, fxs_l["x"], vals,
             fxs_l.get("ea") if has_ea else None,
             ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
-            g_out, tg, ixs_l["tdst"], ixs_l["tmask"], res=res_l)
+            g_out, tg, ixs_l["tdst"], ixs_l["tmask"], **kw)
+        if nf is not None:
+            dx, dvals, dea, dw, near_g = out
+        else:
+            dx, dvals, dea, dw = out
         dvals = jax.lax.optimization_barrier(dvals)
-        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * ke, 0))
+        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * acc_unit, 0))
         dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
         dfl = {"x": dx}
         if "ea" in fxs_l:
             dfl["ea"] = (dea if dea is not None
                          else jnp.zeros_like(fxs_l["ea"]))
+        if nf is not None:
+            return (acc, dw_acc, near_g), dfl
         return (acc, dw_acc), dfl
 
     from dagnn_tpu.ops.pallas.row_step import _names as _row_names
-    acc0 = jnp.zeros((L * ke + 1, lh), g.dtype)
+    acc0 = jnp.zeros((L * acc_unit + 1, lh), g.dtype)
     # stream the cotangent as a per-row scan input ([L, kn, nl*H]) rather
     # than dynamic-slicing the full [L*kn+1, nl*H] buffer inside the body
     # (the slice-of-big-buffer fuses into the pallas call and blows the
@@ -531,9 +572,12 @@ def _wavefront_bwd_fused(static, res, g):
     # vector copies are backward-only INPUTS, their grads fold into wq/wk)
     dw0 = {n: jnp.zeros_like(weights[n])
            for n in _row_names(cfg.num_layers, has_ea)}
-    (_, dw_total), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s, res_s),
+    carry0 = ((acc0, dw0, jnp.zeros((kn, lh), g.dtype))
+              if nf is not None else (acc0, dw0))
+    (carry_out), d_fxs = jax.lax.scan(
+        bwd_step, carry0, (fxs, ixs, g_stream, vals_s, res_s),
         reverse=True, unroll=_SCAN_UNROLL)
+    dw_total = carry_out[1]
     d_params = unflatten_row_weight_grads(dw_total, cfg.num_layers, has_ea)
     if not has_ea:
         # structural zeros for edge-encoder params absent from the kernel
@@ -630,13 +674,35 @@ def _build_streams(params_dir, cfg: DAGNNConfig, x, edge_attr, sched):
         "edst": jnp.asarray(sched.edge_dst),
         "emask": jnp.asarray(sched.edge_mask),
     }
-    if sched.tgrad_eslot is not None and not cfg.agg_x:
+    nf = None
+    fused = _fused_applicable(cfg)
+    if sched.edge_nsrc is not None and fused:
+        # NEAR/FAR-aware schedule (dag/schedule.py nearfar), single-
+        # direction form: the schedule's transpose flat slots already index
+        # the per-direction grad buffer (far-only for "regions", full for
+        # "tgonly"), so no remap is needed here
+        ke_d = sched.edge_src_slot.shape[1]
+        kf = sched.far_w
+        nf = ((("r", ke_d, kf),) if kf is not None
+              else (("t", ke_d, ke_d),))
+        ixs["nsrc"] = jnp.asarray(sched.edge_nsrc)
+        # the forward's gather list: far rows only under "regions"
+        ixs["eslot_v"] = jnp.asarray(
+            sched.edge_src_slot[:, :kf] if kf is not None
+            else sched.edge_src_slot)
+    use_tgrad = sched.tgrad_eslot is not None and not cfg.agg_x
+    if use_tgrad and sched.edge_nsrc is not None and not fused:
+        # a nearfar schedule's transpose covers FAR edges only — the
+        # generic XLA backward cannot consume it; omitting the keys makes
+        # it fall back to the (correct) scatter-add accumulation
+        use_tgrad = False
+    if use_tgrad:
         # transpose schedule: consumed only by the custom backward (the
         # forward scan body ignores these keys; XLA dead-code-eliminates them)
         ixs["teslot"] = jnp.asarray(sched.tgrad_eslot)
         ixs["tdst"] = jnp.asarray(sched.tgrad_dst)
         ixs["tmask"] = jnp.asarray(sched.tgrad_mask)
-    return params_dir, fxs, ixs, (L, kn)
+    return params_dir, fxs, ixs, (L, kn, nf)
 
 
 def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
@@ -651,8 +717,8 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
     ~2ms/step at TOK shapes); readouts that only need per-graph pooling
     run directly over slots.
     """
-    params_dir, fxs, ixs, (L, kn) = _build_streams(params_dir, cfg, x,
-                                                   edge_attr, sched)
+    params_dir, fxs, ixs, (L, kn, nf) = _build_streams(params_dir, cfg, x,
+                                                       edge_attr, sched)
     if kill_edges:
         # reverse pass under ref_shared_agg_quirk: every aggregate is
         # exactly zero upstream; masking out all edges reproduces that
@@ -661,7 +727,7 @@ def _direction_pass(params_dir, cfg: DAGNNConfig, x, edge_attr, sched,
         ixs["emask"] = jnp.zeros_like(ixs["emask"])
         if "tmask" in ixs:
             ixs["tmask"] = jnp.zeros_like(ixs["tmask"])
-    h_flat = _wavefront((cfg, L, kn), params_dir, fxs, ixs)
+    h_flat = _wavefront((cfg, L, kn, nf), params_dir, fxs, ixs)
     packed = _fused_applicable(cfg)
     if slot_space:
         if not packed:
@@ -704,9 +770,15 @@ def merged_applicable(cfg: DAGNNConfig, batch: DAGBatch) -> bool:
     if not (cfg.bidirectional and _fused_applicable(cfg)):
         return False
     f, r = batch.fwd, batch.rev
-    return (f.node_ids.shape == r.node_ids.shape
-            and f.edge_src_slot.shape == r.edge_src_slot.shape
-            and f.tgrad_eslot is not None and r.tgrad_eslot is not None)
+    if f.node_ids.shape != r.node_ids.shape:
+        return False
+    if f.tgrad_eslot is None or r.tgrad_eslot is None:
+        return False
+    if f.edge_nsrc is not None or r.edge_nsrc is not None:
+        # near/far-aware layout: per-direction edge widths may differ (the
+        # kernel slices per-direction blocks by the static nf spec)
+        return f.edge_src_slot.shape[0] == r.edge_src_slot.shape[0]
+    return f.edge_src_slot.shape == r.edge_src_slot.shape
 
 
 def _remap_slot(slot, unit, L, d):
@@ -717,6 +789,16 @@ def _remap_slot(slot, unit, L, d):
     g = L * unit
     row, col = slot // unit, slot % unit
     return jnp.where(slot == g, 2 * g, row * (2 * unit) + d * unit + col)
+
+
+def _remap_slot_nf(slot, unit, units_total, offset, L):
+    """General merged remap for UNEQUAL direction blocks: a per-direction
+    buffer [L*unit + 1] interleaves into [L*units_total + 1] at row-block
+    offset `offset` (= sum of earlier directions' units)."""
+    g = L * unit
+    row, col = slot // unit, slot % unit
+    return jnp.where(slot == g, L * units_total,
+                     row * units_total + offset + col)
 
 
 def _build_streams_merged(params, cfg: DAGNNConfig, x, edge_attr, sf, sr):
@@ -755,6 +837,33 @@ def _build_streams_merged(params, cfg: DAGNNConfig, x, edge_attr, sf, sr):
         "edst": cat(sf.edge_dst, sr.edge_dst),            # block-local
         "emask": cat(sf.edge_mask, sr.edge_mask),
     }
+    nf = None
+    if sf.edge_nsrc is not None or sr.edge_nsrc is not None:
+        # NEAR/FAR-aware schedules (dag/schedule.py nearfar), possibly with
+        # different modes per direction: "r" gathers far rows only (near
+        # rows route in-kernel from the previous row's outputs); "t" keeps
+        # the plain layout/gather but still rides near gradients on the
+        # reverse-scan carry. Transpose flat slots index the per-direction
+        # edge-grad buffer (units = far width for "r", full width else).
+        entries, nsrc_parts, ev_parts = [], [], []
+        for d, s in ((0, sf), (1, sr)):
+            ke_d = s.edge_src_slot.shape[1]
+            kf = s.far_w
+            esv = jnp.asarray(s.edge_src_slot)
+            if s.edge_nsrc is None:
+                entries.append(("p", ke_d, ke_d))
+                nsrc_parts.append(jnp.full((L, ke_d), kn, jnp.int32))
+            elif kf is not None:
+                entries.append(("r", ke_d, kf))
+                nsrc_parts.append(jnp.asarray(s.edge_nsrc))
+                esv = esv[:, :kf]
+            else:
+                entries.append(("t", ke_d, ke_d))
+                nsrc_parts.append(jnp.asarray(s.edge_nsrc))
+            ev_parts.append(_remap_slot(esv, kn, L, d))
+        nf = tuple(entries)
+        ixs["nsrc"] = cat(nsrc_parts[0], nsrc_parts[1])
+        ixs["eslot_v"] = cat(ev_parts[0], ev_parts[1])
     ke = sf.edge_src_slot.shape[1]
     # Kt is sized per direction from actual transpose-row widths — pad both
     # to the common max (pad conventions per schedule.py: eslot -> garbage
@@ -768,12 +877,21 @@ def _build_streams_merged(params, cfg: DAGNNConfig, x, edge_attr, sf, sr):
             return a
         return jnp.pad(a, ((0, 0), (0, w)), constant_values=fill)
 
-    ixs["teslot"] = cat(
-        _remap_slot(padt(sf.tgrad_eslot, L * ke), ke, L, 0),
-        _remap_slot(padt(sr.tgrad_eslot, L * ke), ke, L, 1))
+    if nf is not None:
+        u_f = nf[0][2] if nf[0][0] == "r" else nf[0][1]
+        u_r = nf[1][2] if nf[1][0] == "r" else nf[1][1]
+        ixs["teslot"] = cat(
+            _remap_slot_nf(padt(sf.tgrad_eslot, L * u_f), u_f, u_f + u_r,
+                           0, L),
+            _remap_slot_nf(padt(sr.tgrad_eslot, L * u_r), u_r, u_f + u_r,
+                           u_f, L))
+    else:
+        ixs["teslot"] = cat(
+            _remap_slot(padt(sf.tgrad_eslot, L * ke), ke, L, 0),
+            _remap_slot(padt(sr.tgrad_eslot, L * ke), ke, L, 1))
     ixs["tdst"] = cat(padt(sf.tgrad_dst, kn), padt(sr.tgrad_dst, kn))
     ixs["tmask"] = cat(padt(sf.tgrad_mask, False), padt(sr.tgrad_mask, False))
-    return params2, fxs, ixs, (L, 2 * kn)
+    return params2, fxs, ixs, (L, 2 * kn, nf)
 
 
 def _mweights(cfg: DAGNNConfig, params2, has_ea):
@@ -787,19 +905,34 @@ def _mweights(cfg: DAGNNConfig, params2, has_ea):
 
 def _mfwd_step(static, params2, with_vals: bool = False):
     """One merged scan step: both direction blocks in one fused kernel."""
-    cfg, L, kn2 = static
+    cfg, L, kn2, nf = static
 
     def step(h, xs):
         from dagnn_tpu.ops.pallas.row_step import fused_row_forward
         fxs, ixs = xs
         offset = ixs["lvl"] * kn2
         st = _fused_static(cfg, fxs)
-        vals = h[ixs["eslot"]]                            # [2Ke, nl*H]
+        kw = dict(emit_res=with_vals, ndirs=2)
+        if nf is None:
+            vals = h[ixs["eslot"]]                        # [2Ke, nl*H]
+        else:
+            # NEAR/FAR: "r" blocks gather only the far predecessor rows;
+            # the kernel routes their near rows from the previous row's
+            # output block (a contiguous slice of h — row 0 has no near
+            # edges, so the clamped slice at lvl 0 is never read through
+            # the one-hot)
+            vals = h[ixs["eslot_v"]]
+            kw.update(nf=nf)
+            if any(e[0] == "r" for e in nf):
+                prev = jax.lax.dynamic_slice(
+                    h, (jnp.maximum(offset - kn2, 0), 0),
+                    (kn2, h.shape[1]))
+                kw.update(nsrc=ixs["nsrc"], prev_out=prev)
         out = fused_row_forward(
             st, jax.default_backend() != "tpu",
             fxs["x"], vals, fxs.get("ea") if st[0] else None,
             ixs["edst"], ixs["emask"], ixs["nmask"],
-            _mweights(cfg, params2, st[0]), emit_res=with_vals, ndirs=2)
+            _mweights(cfg, params2, st[0]), **kw)
         if with_vals:
             outs, *res = out
             h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
@@ -812,7 +945,7 @@ def _mfwd_step(static, params2, with_vals: bool = False):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mwavefront(static, params2, fxs, ixs):
-    cfg, L, kn2 = static
+    cfg, L, kn2, nf = static
     h0 = jnp.zeros((L * kn2 + 1, cfg.num_layers * cfg.hidden_dim),
                    fxs["x"].dtype)
     h, _ = jax.lax.scan(_mfwd_step(static, params2), h0, (fxs, ixs),
@@ -821,7 +954,7 @@ def _mwavefront(static, params2, fxs, ixs):
 
 
 def _mwavefront_fwd(static, params2, fxs, ixs):
-    cfg, L, kn2 = static
+    cfg, L, kn2, nf = static
     if _NO_RES_STREAM:
         h = _mwavefront(static, params2, fxs, ixs)
         return h, (params2, fxs, ixs, h)
@@ -830,7 +963,10 @@ def _mwavefront_fwd(static, params2, fxs, ixs):
     h, (vals_s, res_s) = jax.lax.scan(
         _mfwd_step(static, params2, with_vals=True), h0, (fxs, ixs),
         unroll=_SCAN_UNROLL)
-    return h, (params2, fxs, ixs, (vals_s, res_s))
+    # near/far backward additionally needs h (the previous row's output
+    # block rebuilds the near vals rows in-kernel)
+    return h, (params2, fxs, ixs, (h, vals_s, res_s) if nf is not None
+               else (vals_s, res_s))
 
 
 def _mwavefront_bwd(static, res, g):
@@ -838,11 +974,14 @@ def _mwavefront_bwd(static, res, g):
     with direction-concatenated rows and stacked weight grads)."""
     from dagnn_tpu.ops.pallas.row_step import (
         fused_row_backward, unflatten_row_weight_grads, _names as _row_names)
-    cfg, L, kn2 = static
+    cfg, L, kn2, nf = static
     params2, fxs, ixs, res4 = res
+    h_all = None
     if _NO_RES_STREAM:
         h_final = res4
         vals_s = res_s = None
+    elif nf is not None:
+        h_all, vals_s, res_s = res4
     else:
         vals_s, res_s = res4
     st = _fused_static(cfg, fxs)
@@ -850,10 +989,17 @@ def _mwavefront_bwd(static, res, g):
     weights = _mweights(cfg, params2, has_ea)
     interp = jax.default_backend() != "tpu"
     ke2 = ixs["eslot"].shape[1]
+    # near/far: per-direction edge-grad buffer units (far-only for "r")
+    acc_unit = (sum(kf if m == "r" else kd for m, kd, kf in nf)
+                if nf is not None else ke2)
     lh = cfg.num_layers * cfg.hidden_dim
 
     def bwd_step(carry, xs):
-        acc, dw_acc = carry
+        if nf is not None:
+            acc, dw_acc, near_g = carry
+        else:
+            acc, dw_acc = carry
+            near_g = None
         if _NO_RES_STREAM:
             fxs_l, ixs_l, g_out = xs
             vals = jax.lax.optimization_barrier(h_final[ixs_l["eslot"]])
@@ -867,29 +1013,45 @@ def _mwavefront_bwd(static, res, g):
         tg = jnp.concatenate([acc[ixs_l["teslot"][:kt2]],
                               acc[ixs_l["teslot"][kt2:]]])
         tg = jax.lax.optimization_barrier(tg)
-        dx, dvals, dea, dw = fused_row_backward(
+        kw = dict(res=res_l, ndirs=2)
+        if nf is not None:
+            kw.update(nf=nf, nsrc=ixs_l["nsrc"], near_g=near_g)
+            if res_l is not None and any(e[0] == "r" for e in nf):
+                kw.update(prev_out=jax.lax.dynamic_slice(
+                    h_all, (jnp.maximum((lvl - 1) * kn2, 0), 0),
+                    (kn2, h_all.shape[1])))
+        out = fused_row_backward(
             st, interp, fxs_l["x"], vals,
             fxs_l.get("ea") if has_ea else None,
             ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], weights,
-            g_out, tg, ixs_l["tdst"], ixs_l["tmask"], res=res_l, ndirs=2)
+            g_out, tg, ixs_l["tdst"], ixs_l["tmask"], **kw)
+        if nf is not None:
+            dx, dvals, dea, dw, near_g = out
+        else:
+            dx, dvals, dea, dw = out
         dvals = jax.lax.optimization_barrier(dvals)
-        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * ke2, 0))
+        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * acc_unit, 0))
         dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
         dfl = {"x": dx}
         if "ea" in fxs_l:
             dfl["ea"] = (dea if dea is not None
                          else jnp.zeros_like(fxs_l["ea"]))
+        if nf is not None:
+            return (acc, dw_acc, near_g), dfl
         return (acc, dw_acc), dfl
 
-    acc0 = jnp.zeros((L * ke2 + 1, lh), g.dtype)
+    acc0 = jnp.zeros((L * acc_unit + 1, lh), g.dtype)
     g_stream = g[: L * kn2].reshape(L, kn2, lh)
     dw0 = {n: jnp.zeros_like(weights[n])
            for n in _row_names(cfg.num_layers, has_ea)}
+    carry0 = ((acc0, dw0, jnp.zeros((kn2, lh), g.dtype))
+              if nf is not None else (acc0, dw0))
     bxs = ((fxs, ixs, g_stream) if _NO_RES_STREAM
            else (fxs, ixs, g_stream, vals_s, res_s))
-    (_, dw_total), d_fxs = jax.lax.scan(
-        bwd_step, (acc0, dw0), bxs,
+    (carry_out), d_fxs = jax.lax.scan(
+        bwd_step, carry0, bxs,
         reverse=True, unroll=_SCAN_UNROLL)
+    dw_total = carry_out[1]
     d_params2 = [
         unflatten_row_weight_grads({k: v[di] for k, v in dw_total.items()},
                                    cfg.num_layers, has_ea)
@@ -906,9 +1068,9 @@ def merged_pass(params, cfg: DAGNNConfig, x, edge_attr, batch: DAGBatch):
     """Both direction passes in one scan. Returns (h_flat [L*2Kn, nl*H],
     x_flat [L*2Kn, emb]) in the MERGED level-sorted layout: row r holds
     the fwd block at rows r*2Kn..r*2Kn+Kn and the rev block after it."""
-    params2, fxs, ixs, (L, kn2) = _build_streams_merged(
+    params2, fxs, ixs, (L, kn2, nf) = _build_streams_merged(
         params, cfg, x, edge_attr, batch.fwd, batch.rev)
-    h = _mwavefront((cfg, L, kn2), params2, fxs, ixs)
+    h = _mwavefront((cfg, L, kn2, nf), params2, fxs, ixs)
     return h[: L * kn2], fxs["x"].reshape(L * kn2, -1)
 
 

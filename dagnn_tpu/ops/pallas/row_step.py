@@ -295,13 +295,49 @@ class _DictRefs:
 
 
 def _prep_row(xin, vals, ea, edst, emask, nmask):
-    ke = vals.shape[0]
+    ke = edst.shape[0]      # full edge width (vals may be far-only, see nf)
     kn = xin.shape[0]
     ea2 = ea if ea is not None else jnp.zeros((ke, 1), vals.dtype)
     return (xin, vals, ea2,
             edst.astype(jnp.int32).reshape(ke, 1),
             emask.astype(_F32).reshape(ke, 1),
             nmask.astype(_F32).reshape(kn, 1))
+
+
+def _nf_blocks(nf, ndirs, ke_total):
+    """Per-direction (mode, edge_offset, ke_d, vals_offset, kv_d) blocks.
+
+    nf = ((mode, ke_d, kf_d), ...) per direction with mode "r" (regions:
+    vals carry only the kf_d far rows, near rows rebuild from prev_out),
+    "t" (tgonly: full vals, near gradients still ride the carry) or "p"
+    (plain block inside an nf kernel). nf=None = all-plain uniform blocks.
+    kv_d is the block's width in the vals/dvals arrays (kf_d for "r",
+    ke_d otherwise)."""
+    blocks = []
+    eo = vo = 0
+    for d in range(ndirs):
+        if nf is None:
+            mode, ked, kfd = "p", ke_total // ndirs, ke_total // ndirs
+        else:
+            mode, ked, kfd = nf[d]
+        kvd = kfd if mode == "r" else ked
+        blocks.append((mode, eo, ked, vo, kvd))
+        eo += ked
+        vo += kvd
+    return blocks
+
+
+def _nf_rebuild_vals(vals_far_d, nsrc_d, prev_out_d, kn, dt):
+    """Reconstruct a direction block's full predecessor-state rows: far rows
+    arrive gathered from the state buffer; near rows are routed from the
+    previous row's outputs by a one-hot MXU matmul (nsrc = source slot in
+    the previous row, pad Kn -> all-zero one-hot row). Bitwise the h-buffer
+    values: prev_out IS the previous row's output block."""
+    kne = nsrc_d.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (kne, kn), 1)
+    NH = (col == nsrc_d).astype(dt)
+    near = _mm(NH, prev_out_d).astype(dt)                     # [Kne, L*H]
+    return jnp.concatenate([vals_far_d, near], axis=0)
 
 
 def _call_kw(interpret):
@@ -314,30 +350,40 @@ def _call_kw(interpret):
 # ----------------------------------------------------------------- kernels
 
 def _row_fwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers, emit_res, ndirs = static
+    has_ea, hdim, nlayers, emit_res, ndirs, nf = static
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
+    if nf is not None and any(e[0] == "r" for e in nf):
+        nsrc_ref, prev_ref = rest[:2]
+        rest = rest[2:]
     n_out = 3 if emit_res else 1
     wref = _DictRefs(names, rest[:-n_out])
     out_ref = rest[-n_out]
     if emit_res:
         a32_ref, nres_ref = rest[-2:]
     kn = xin_ref.shape[0] // ndirs
-    ke = vals_ref.shape[0] // ndirs
-    for d in range(ndirs):
+    for d, (mode, eo, ked, vo, kvd) in enumerate(
+            _nf_blocks(nf, ndirs, edst_ref.shape[0])):
         # with ndirs>1 the row is a concat of per-direction blocks and the
         # weights are stacked [ndirs, ...] (direction-merged scan: both
         # direction passes ride ONE kernel dispatch per wavefront row)
         w = ((lambda nm: wref[nm][d]) if ndirs > 1
              else (lambda nm: wref[nm][:]))
-        ns, es = slice(d * kn, (d + 1) * kn), slice(d * ke, (d + 1) * ke)
+        ns, es = slice(d * kn, (d + 1) * kn), slice(eo, eo + ked)
         ea = ea_ref[es, :] if has_ea else None
         emask = emask_ref[es, :]
         Pm, P = _build_P(edst_ref[es, :], emask, kn, vals_ref.dtype)
         nmask = nmask_ref[ns, :]
         cur = xin_ref[ns, :]
         q = cur
-        vals_d = vals_ref[es, :]
+        if mode == "r":
+            # NEAR/FAR regions: only far predecessor rows were gathered;
+            # near rows are the previous row's outputs, routed in-kernel
+            vals_d = _nf_rebuild_vals(vals_ref[vo:vo + kvd, :],
+                                      nsrc_ref[eo + kvd:eo + ked, :],
+                                      prev_ref[ns, :], kn, vals_ref.dtype)
+        else:
+            vals_d = vals_ref[vo:vo + kvd, :]
         for l in range(nlayers):
             aggp = {k: w(f"a{l}_{k}") for k in agg_keys(has_ea)}
             cellp = {k: w(f"c{l}_{k}") for k in CELL_FWD_KEYS}
@@ -364,10 +410,17 @@ def _row_fwd_kernel(static, names, refs):
 
 
 def _row_bwd_kernel(static, names, refs):
-    has_ea, hdim, nlayers, merge_tg, use_res, ndirs = static
+    has_ea, hdim, nlayers, merge_tg, use_res, ndirs, nf = static
     in_names, out_names = names
     (xin_ref, vals_ref, ea_ref, edst_ref, emask_ref, nmask_ref,
      *rest) = refs
+    if nf is not None:
+        nsrc_ref = rest[0]
+        rest = rest[1:]
+        prev_ref = None
+        if use_res and any(e[0] == "r" for e in nf):
+            prev_ref = rest[0]
+            rest = rest[1:]
     nw = len(in_names)
     wref = _DictRefs(in_names, rest[:nw])
     pos = nw
@@ -381,26 +434,47 @@ def _row_bwd_kernel(static, names, refs):
     else:
         g_ref = rest[pos]
         pos += 1
+    ng_in_ref = None
+    if nf is not None:
+        ng_in_ref = rest[pos]
+        pos += 1
     dx_ref, dvals_ref, dea_ref = rest[pos:pos + 3]
-    dwrefs = _DictRefs(out_names, rest[pos + 3:])
+    pos += 3
+    ng_out_ref = None
+    if nf is not None:
+        ng_out_ref = rest[pos]
+        pos += 1
+    dwrefs = _DictRefs(out_names, rest[pos:])
 
     kn = xin_ref.shape[0] // ndirs
-    ke = vals_ref.shape[0] // ndirs
     kt = tdst_ref.shape[0] // ndirs if merge_tg else 0
     dt = vals_ref.dtype
-    for d in range(ndirs):
+    for d, (mode, eo, ked, vo, kvd) in enumerate(
+            _nf_blocks(nf, ndirs, edst_ref.shape[0])):
         # per-direction block of the (possibly direction-merged) row; with
         # ndirs>1 the weight / weight-grad refs are stacked [ndirs, ...]
         wsel = ((lambda nm: wref[nm][d]) if ndirs > 1
                 else (lambda nm: wref[nm][:]))
         ns = slice(d * kn, (d + 1) * kn)
-        es = slice(d * ke, (d + 1) * ke)
+        es = slice(eo, eo + ked)
         ts = slice(d * kt, (d + 1) * kt)
 
         ea = ea_ref[es, :] if has_ea else None
         emask = emask_ref[es, :]
         nmask = nmask_ref[ns, :]
-        vals = vals_ref[es, :]
+        if nf is not None and not use_res:
+            # recompute path: the caller gathered FULL-width rows for every
+            # block regardless of mode
+            vals = vals_ref[es, :]
+        elif mode == "r":
+            # vals stream holds only the gathered far rows; rebuild near
+            # rows from the previous row's outputs (bitwise the h-buffer
+            # values — prev_out IS that block)
+            vals = _nf_rebuild_vals(vals_ref[vo:vo + kvd, :],
+                                    nsrc_ref[eo + kvd:eo + ked, :],
+                                    prev_ref[ns, :], kn, dt)
+        else:
+            vals = vals_ref[vo:vo + kvd, :]
         Pm, P = _build_P(edst_ref[es, :], emask, kn, dt)
 
         if merge_tg:
@@ -411,6 +485,10 @@ def _row_bwd_kernel(static, names, refs):
             tcol = jax.lax.broadcasted_iota(jnp.int32, (kt, kn), 1)
             OH = ((tcol == tdst_ref[ts, :]) & (tmask_ref[ts, :] > 0)).astype(dt)
             tg_all = _dg(OH, tg_ref[ts, :], 0, 0)              # [Kn, L*H] f32
+            if ng_in_ref is not None:
+                # NEAR/FAR: the next row's near-edge gradients arrive as a
+                # dense carry block instead of through the edge-grad buffer
+                tg_all = tg_all + ng_in_ref[ns, :].astype(_F32)
             g_rows_tot = [
                 g_ref[ns, l * hdim:(l + 1) * hdim].astype(_F32)
                 + tg_all[:, l * hdim:(l + 1) * hdim]
@@ -474,7 +552,15 @@ def _row_bwd_kernel(static, names, refs):
                 cur = out
                 q = out
 
-        dea_acc = jnp.zeros((ke, dea_ref.shape[1]), _F32) if has_ea else None
+        dea_acc = jnp.zeros((ked, dea_ref.shape[1]), _F32) if has_ea else None
+        NH = None
+        if nf is not None and mode != "p":
+            # one-hot routing near dvals back to the previous row's slots
+            # (transpose of the vals rebuild); for "t" the one-hot spans
+            # the full block — far rows (nsrc = Kn) vanish
+            lo = eo + kvd if mode == "r" else eo
+            ncol = jax.lax.broadcasted_iota(jnp.int32, (eo + ked - lo, kn), 1)
+            NH = (ncol == nsrc_ref[lo:eo + ked, :]).astype(dt)
         g_next = None  # d(out_l) arriving from layer l+1 (via its cur and q)
         for l in range(nlayers - 1, -1, -1):
             if merge_tg:
@@ -488,8 +574,21 @@ def _row_bwd_kernel(static, names, refs):
                 aggps[l], cellps[l], curs[l], qs[l],
                 vals[:, l * hdim:(l + 1) * hdim], ea, P,
                 resids[l], g_l, hdim)
-            dvals_ref[es, l * hdim:(l + 1) * hdim] = dval.astype(
-                dvals_ref.dtype)
+            if nf is None:
+                dvals_ref[es, l * hdim:(l + 1) * hdim] = dval.astype(
+                    dvals_ref.dtype)
+            else:
+                # "r": far rows -> the far-only edge-grad buffer, near rows
+                # -> segment-summed to previous-row slots (carry block).
+                # "t": full rows to the buffer (near entries are dead — the
+                # transpose schedule excludes them) + the same carry block.
+                dvals_ref[vo:vo + kvd, l * hdim:(l + 1) * hdim] = (
+                    dval[:kvd].astype(dvals_ref.dtype))
+                ng = (_dg(NH, dval[kvd if mode == "r" else 0:], 0, 0)
+                      if NH is not None
+                      else jnp.zeros((kn, hdim), _F32))
+                ng_out_ref[ns, l * hdim:(l + 1) * hdim] = ng.astype(
+                    ng_out_ref.dtype)
             for k, v in daggp.items():
                 ref = dwrefs[f"a{l}_{k}"]
                 if ndirs > 1:
@@ -509,13 +608,14 @@ def _row_bwd_kernel(static, names, refs):
         if has_ea:
             dea_ref[es, :] = dea_acc.astype(dea_ref.dtype)
         else:
-            dea_ref[es, :] = jnp.zeros((ke, dea_ref.shape[1]), dea_ref.dtype)
+            dea_ref[es, :] = jnp.zeros((ked, dea_ref.shape[1]), dea_ref.dtype)
 
 
 # ------------------------------------------------------------ entry points
 
 def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
-                      weights, emit_res: bool = False, ndirs: int = 1):
+                      weights, emit_res: bool = False, ndirs: int = 1,
+                      nf=None, nsrc=None, prev_out=None):
     """Whole-row fused forward. vals [Ke, L*H] layer-packed; returns outs
     [Kn, L*H] (layer l in columns l*H:(l+1)*H).
 
@@ -530,15 +630,27 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     concat of per-direction blocks along axis 0 and `weights` values are
     stacked [2, ...] — both direction passes ride one kernel dispatch
     (the two directions of the bidirectional wavefront are independent
-    given x, so their rows can share scan steps)."""
+    given x, so their rows can share scan steps).
+
+    nf = ((far_width, near_width) per direction) activates the NEAR/FAR
+    layout (dag/schedule.py nearfar): `vals` holds only the gathered FAR
+    rows ([sum far_width, L*H], per-direction far blocks concatenated);
+    near rows are routed from `prev_out` [ndirs*Kn, L*H] (the previous
+    wavefront row's output block) by the one-hot of `nsrc` [sum Ke_d]
+    (source slot in the previous row, pad Kn). edst/emask/ea/nsrc keep the
+    full per-direction widths far_width+near_width."""
     has_ea, hdim, nlayers = static
     names = _names(nlayers, has_ea, fwd=True)
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     kn = xin.shape[0]
-    ke = vals.shape[0]
+    ke = edst.shape[0]
+    if nf is not None and any(e[0] == "r" for e in nf):
+        args = args + (nsrc.astype(jnp.int32).reshape(ke, 1),
+                       prev_out)
+    n_in = len(args)
 
     def kernel(*refs):
-        _row_fwd_kernel((has_ea, hdim, nlayers, emit_res, ndirs), names,
+        _row_fwd_kernel((has_ea, hdim, nlayers, emit_res, ndirs, nf), names,
                         refs)
 
     out_shape = jax.ShapeDtypeStruct((kn, nlayers * hdim), xin.dtype)
@@ -550,7 +662,8 @@ def fused_row_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
     fn = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(names)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (n_in + len(names)),
         out_specs=(tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3)
                    if emit_res else pl.BlockSpec(memory_space=pltpu.VMEM)),
         **_call_kw(interpret),
@@ -587,7 +700,8 @@ def _tg_accumulate(interpret, g, tg, tdst, tmask, kn):
 
 def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
                        weights, g, tg, tdst, tmask, merge_tg=True,
-                       res=None, ndirs: int = 1):
+                       res=None, ndirs: int = 1,
+                       nf=None, nsrc=None, prev_out=None, near_g=None):
     """Whole-row fused backward — ONE pallas call by default (the
     transpose-edge-grad segment sum rides inside, merge_tg=True; set
     DAGNN_TPU_SPLIT_TG=1 or merge_tg=False for the two-call form if a
@@ -601,11 +715,21 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
           fused_row_forward(emit_res=True) — skips the in-kernel forward
           recompute (k is rebuilt from vals + the encoder weights).
     Returns (dx [Kn, emb], dvals [Ke, L*H], dea or None, dw flat dict).
+
+    NEAR/FAR (nf = per-direction (far, near) widths, see
+    fused_row_forward): with res streams, `vals` holds only the far rows
+    and near rows rebuild from `prev_out` (the previous row's outputs)
+    via `nsrc`; without res (recompute), `vals` must be full-width.
+    `near_g` [ndirs*Kn, L*H] is the NEXT row's near-edge gradient block
+    (zeros at the last row); tg/tdst then cover FAR edges only. Returns
+    (dx, dvals_far [sum far, L*H], dea, dw, near_g_out) — near_g_out is
+    this row's gradient contribution to the PREVIOUS row's outputs.
     """
     import os
-    if os.environ.get("DAGNN_TPU_SPLIT_TG") and ndirs == 1:
+    if os.environ.get("DAGNN_TPU_SPLIT_TG") and ndirs == 1 and nf is None:
         merge_tg = False
     assert merge_tg or ndirs == 1, "split-tg path is single-direction only"
+    assert merge_tg or nf is None, "near/far requires merge_tg"
     has_ea, hdim, nlayers = static
     use_res = res is not None
     in_names = _names(nlayers, has_ea, rows=True, use_res=use_res)
@@ -613,6 +737,12 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
     args = _prep_row(xin, vals, ea, edst, emask, nmask)
     ea2 = args[2]
     kn = xin.shape[0]
+    ke = edst.shape[0]
+    if nf is not None:
+        args = args + (nsrc.astype(jnp.int32).reshape(ke, 1),)
+        if use_res and any(e[0] == "r" for e in nf):
+            args = args + (prev_out,)
+    n_in = len(args)
     res_args = tuple(res) if use_res else ()
     if merge_tg:
         kt = tdst.shape[0]
@@ -621,28 +751,41 @@ def fused_row_backward(static, interpret, xin, vals, ea, edst, emask, nmask,
                   tmask.astype(_F32).reshape(kt, 1))
     else:
         g_args = (_tg_accumulate(interpret, g, tg, tdst, tmask, kn),)
+    if nf is not None:
+        g_args = g_args + (near_g,)
 
-    out_shapes = tuple(
+    kv_total = (sum(kf if m == "r" else kd for m, kd, kf in nf)
+                if nf is not None else None)
+    dvals_shape = ((kv_total, nlayers * hdim) if nf is not None
+                   else vals.shape)
+    out_shapes = (
         [jax.ShapeDtypeStruct(xin.shape, xin.dtype),
-         jax.ShapeDtypeStruct(vals.shape, vals.dtype),
+         jax.ShapeDtypeStruct(dvals_shape, vals.dtype),
          jax.ShapeDtypeStruct(ea2.shape, ea2.dtype)]
+        + ([jax.ShapeDtypeStruct((kn, nlayers * hdim), g.dtype)]
+           if nf is not None else [])
         + [jax.ShapeDtypeStruct(weights[n].shape, weights[n].dtype)
            for n in out_names])
+    out_shapes = tuple(out_shapes)
 
     def kernel(*refs):
-        _row_bwd_kernel((has_ea, hdim, nlayers, merge_tg, use_res, ndirs),
-                        (in_names, out_names), refs)
+        _row_bwd_kernel(
+            (has_ea, hdim, nlayers, merge_tg, use_res, ndirs, nf),
+            (in_names, out_names), refs)
 
+    n_fixed_out = 4 if nf is not None else 3
     fn = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (6 + len(in_names) + len(res_args) + len(g_args)),
+        * (n_in + len(in_names) + len(res_args) + len(g_args)),
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)]
-                        * (3 + len(out_names))),
+                        * (n_fixed_out + len(out_names))),
         **_call_kw(interpret),
     )
     outs = fn(*args, *[weights[n] for n in in_names], *res_args, *g_args)
     dx, dvals, dea = outs[0], outs[1], outs[2]
-    dw = dict(zip(out_names, outs[3:]))
+    dw = dict(zip(out_names, outs[n_fixed_out:]))
+    if nf is not None:
+        return dx, dvals, (dea if has_ea else None), dw, outs[3]
     return dx, dvals, (dea if has_ea else None), dw

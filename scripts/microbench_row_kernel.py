@@ -65,40 +65,50 @@ def make_inputs(h, emb, kn, ke, kt, r, nl, ndirs, dtype, seed=0):
             g, tg, tdst, tmask)
 
 
-def bench_shape(label, h, emb, iters=200, rows=82, ndirs=2):
+def bench_shape(label, h, emb, iters=10, rows=82, ndirs=2):
+    """Time `rows` kernel calls chained inside ONE jit (lax.scan with a
+    data dependency through the carry) — per-call tunnel dispatch (~300us)
+    would otherwise swamp the ~30us kernels."""
     kn, ke, kt, r, nl = 256, 512, 576, 8, 2
     (st, xin, vals, ea, edst, emask, nmask, weights,
      g, tg, tdst, tmask) = make_inputs(h, emb, kn, ke, kt, r, nl, ndirs,
                                        jnp.bfloat16)
 
     @jax.jit
-    def fwd(xin, vals, ea):
-        return fused_row_forward(st, False, xin, vals, ea, edst, emask,
-                                 nmask, weights, emit_res=True, ndirs=ndirs)
+    def fwd_scan(xin, vals, ea):
+        def body(c, _):
+            o, a32, nres = fused_row_forward(
+                st, False, xin + c[:, :emb], vals, ea, edst, emask,
+                nmask, weights, emit_res=True, ndirs=ndirs)
+            return o, (a32, nres)
+        return jax.lax.scan(body, jnp.zeros_like(g), None, length=rows)
 
     @jax.jit
-    def bwd(xin, vals, ea, res, g, tg):
-        return fused_row_backward(st, False, xin, vals, ea, edst, emask,
-                                  nmask, weights, g, tg, tdst, tmask,
-                                  res=res, ndirs=ndirs)
+    def bwd_scan(xin, vals, ea, res, g, tg):
+        def body(c, _):
+            dx, dvals, dea, dw = fused_row_backward(
+                st, False, xin, vals, ea, edst, emask, nmask, weights,
+                c, tg, tdst, tmask, res=res, ndirs=ndirs)
+            return c + dvals[: g.shape[0], : g.shape[1]].astype(g.dtype) * 0 + dx[:, :1].astype(g.dtype) * 0, None
+        return jax.lax.scan(body, g, None, length=rows)
 
-    outs, *res = fwd(xin, vals, ea)
-    res = tuple(res)
-    jax.block_until_ready(outs)
-    o = bwd(xin, vals, ea, res, g, tg)
+    out, (a32, nres) = fwd_scan(xin, vals, ea)
+    res = (a32[0], nres[0])
+    jax.block_until_ready(out)
+    o, _ = bwd_scan(xin, vals, ea, res, g, tg)
     jax.block_until_ready(o)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs, *r2 = fwd(xin, vals, ea)
-    jax.block_until_ready(outs)
-    t_f = (time.perf_counter() - t0) / iters
+        out, _ = fwd_scan(xin, vals, ea)
+    jax.block_until_ready(out)
+    t_f = (time.perf_counter() - t0) / iters / rows
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = bwd(xin, vals, ea, res, g, tg)
-    jax.block_until_ready(o[0])
-    t_b = (time.perf_counter() - t0) / iters
+        o, _ = bwd_scan(xin, vals, ea, res, g, tg)
+    jax.block_until_ready(o)
+    t_b = (time.perf_counter() - t0) / iters / rows
 
     print(f"{label:28s} fwd {t_f*1e6:7.1f}us/row  bwd {t_b*1e6:7.1f}us/row"
           f"  -> scan est fwd {t_f*rows*1e3:.2f}ms bwd {t_b*rows*1e3:.2f}ms")

@@ -95,3 +95,50 @@ def test_stagger_invariance():
     o1 = dagnn_forward(params, cfg, b1)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_nearfar_layouts_match_plain():
+    """NEAR/FAR-aware schedules (dag/schedule.py nearfar: "regions" far-only
+    gather + in-kernel near routing; "tgonly" near gradients on the reverse
+    scan carry) are pure execution-layout changes: forward and gradients
+    must match the plain layout on the fused path (merged + unmerged) and
+    the dense path (which falls back to scatter accumulation). Kept as an
+    A/B option: on v5e the plain layout measures faster at the TOK bench
+    shape (see PLAN.md round-5 notes), but the machinery is the base for
+    pair-scheduled kernels and stays correctness-covered here."""
+    from dagnn_tpu.dag.batch import PadConfig as _PC
+
+    rng = np.random.default_rng(11)
+    graphs = [random_dag_graph(rng, n, 12) for n in (9, 14, 6, 11)]
+    pad0 = _PC.for_graphs(graphs, chunk_size=8, edge_budget=24, stagger=2)
+    b0 = collate(graphs, pad0)
+    cfg = DAGNNConfig(
+        num_vocab=20, max_seq_len=3, emb_dim=12, hidden_dim=16,
+        num_rels=2, num_layers=2, bidirectional=True, agg="attn_h",
+        segment_impl="fused",
+        encoder=dataclasses.replace(DAGNNConfig().encoder,
+                                    kind="identity", emb_dim=12))
+    params = dagnn_init(jax.random.PRNGKey(0), cfg)
+    o0 = dagnn_forward(params, cfg, b0)
+
+    def loss(p, c, b):
+        return jnp.sum(dagnn_forward(p, c, b) ** 2)
+
+    g0 = jax.grad(loss)(params, cfg, b0)
+    for nearfar in ("regions", "tgonly", ("regions", "tgonly")):
+        b1 = collate(graphs, dataclasses.replace(pad0, nearfar=nearfar))
+        for c in (cfg, dataclasses.replace(cfg, bidirectional=False),
+                  dataclasses.replace(cfg, segment_impl="dense")):
+            p = params if c.bidirectional else dagnn_init(
+                jax.random.PRNGKey(0), c)
+            o1 = dagnn_forward(p, c, b1)
+            want = (o0 if c is cfg else dagnn_forward(p, c, b0))
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"{nearfar} fwd")
+            g1 = jax.grad(loss)(p, c, b1)
+            gw = (g0 if c is cfg else jax.grad(loss)(p, c, b0))
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+                g1, gw)
