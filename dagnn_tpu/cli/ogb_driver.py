@@ -117,6 +117,23 @@ def build_model_cfg(args, task: str, num_nodetypes=98, num_nodeattributes=10030)
             num_class=LP_NUM_CLASSES if task == "lp" else 0,
             encoder=enc,
         )
+    if args.gnn in ("ggnns", "ggnn", "ggnn-etype", "gat"):
+        # faithful gnn2.py family (reference 'ggnns'/'ggnn' = GGNN_Simple,
+        # main_pyg.py:387 / main_pyg_lp.py:361; 'ggnn-etype' = the
+        # edge-typed GGNN defined at gnn2.py:80, unreachable from the
+        # reference registries but kept runnable here)
+        from dagnn_tpu.nn.gnn2_models import GNN2Config
+        kind = {"ggnns": "ggnn_simple", "ggnn": "ggnn_simple",
+                "ggnn-etype": "ggnn", "gat": "gat"}[args.gnn]
+        return GNN2Config(
+            kind=kind,
+            emb_dim=args.emb_dim,
+            num_vocab=args.num_vocab + 2 if task == "tok" else 0,
+            max_seq_len=args.max_seq_len,
+            num_class=LP_NUM_CLASSES if task == "lp" else 0,
+            num_layers=args.dagnn_layers if args.dagnn_layers > 2 else 3,
+            encoder=enc,
+        )
     if args.gnn != "dagnn":
         base = args.gnn.replace("-virtual", "")
         return MPNNConfig(
@@ -230,11 +247,14 @@ def _split_and_convert(args, raws, split):
 
 
 def make_step_fns(cfg, opt, task: str):
+    from dagnn_tpu.nn.gnn2_models import GNN2Config, gnn2_forward
     is_dagnn = isinstance(cfg, DAGNNConfig)
     if is_dagnn:
         fwd = dagnn_forward
     elif isinstance(cfg, HPoolConfig):
         fwd = hpool_forward
+    elif isinstance(cfg, GNN2Config):
+        fwd = gnn2_forward
     else:
         fwd = mpnn_forward
 
@@ -313,7 +333,9 @@ def run(args, task: str):
         elif isinstance(cfg, HPoolConfig):
             params = hpool_init(rng, cfg)
         else:
-            params = mpnn_init(rng, cfg)
+            from dagnn_tpu.nn.gnn2_models import GNN2Config, gnn2_init
+            params = (gnn2_init(rng, cfg) if isinstance(cfg, GNN2Config)
+                      else mpnn_init(rng, cfg))
         opt_state = opt.init(params)
         start_epoch = 1
         best = {"epoch": 0, "train": 0.0, "valid": -1.0, "test": 0.0}

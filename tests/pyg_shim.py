@@ -197,6 +197,7 @@ def _install_shim_modules():
                    degree=pyg_degree)
     tg_typing = _mk("torch_geometric.typing", OptTensor=type(None))
     tg_typing.OptTensor = torch.Tensor  # annotation only
+    tg_typing.Adj = torch.Tensor       # annotation only
     tg_nn.glob = tg_glob
     tg_nn.inits = tg_inits
     tg.nn = tg_nn
@@ -467,3 +468,66 @@ def load_reference_baseline_gnn():
             else:
                 sys.modules[k] = old
     return gnn
+
+
+def load_reference_gnn2():
+    """Load model/gnn2.py + model/asap.py + tg/gated_graph_conv.py verbatim
+    (GGNN_Simple/GGNN/GAT/DGCNN/DiffPoolGNN/UNet/SAGPoolGNN(+EA)/ASAP) with
+    the PyG-1.6 layer shims from pyg_shim_layers. Returns (gnn2, asap, tg)."""
+    import pyg_shim_layers as L
+    shims = _install_shim_modules()
+    tg_nn = shims["torch_geometric.nn"]
+    for name in ("GCNConv", "GraphConv", "GatedGraphConv", "GATConv",
+                 "LEConv", "TopKPooling", "SAGPooling", "ASAPooling",
+                 "GraphUNet", "DenseSAGEConv", "JumpingKnowledge"):
+        setattr(tg_nn, name, getattr(L, name))
+    tg_nn.dense_diff_pool = L.dense_diff_pool
+    tg_nn.global_sort_pool = L.global_sort_pool
+    tg_conv = _mk("torch_geometric.nn.conv", MessagePassing=MessagePassing)
+    tg_nn.conv = tg_conv
+    shims["torch_geometric"].nn = tg_nn
+    shims["torch_geometric.utils"].dropout_adj = L.dropout_adj
+    shims["torch_geometric.utils"].to_dense_batch = L.to_dense_batch
+    shims["torch_geometric.utils"].to_dense_adj = L.to_dense_adj
+
+    class _SparseTensor:  # annotation-only in tg/gated_graph_conv.py
+        pass
+
+    ts_sparse = _mk("torch_sparse", SparseTensor=_SparseTensor,
+                    matmul=lambda *a, **k: None)
+    tg_pkg = types.ModuleType("tg")
+    tg_pkg.__path__ = []
+    model_pkg = types.ModuleType("model")
+    model_pkg.__path__ = []
+
+    inject = dict(shims)
+    inject.update({"torch_geometric.nn.conv": tg_conv,
+                   "torch_sparse": ts_sparse,
+                   "tg": tg_pkg, "model": model_pkg})
+    saved = {}
+    for k, v in inject.items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        def _load_as(name, path):
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            saved.setdefault(name, None)
+            spec.loader.exec_module(mod)
+            return mod
+
+        tgg = _load_as("tg.gated_graph_conv",
+                       f"{REF}/ogbg-code/tg/gated_graph_conv.py")
+        tg_pkg.gated_graph_conv = tgg
+        conv = _load_as("model.conv", f"{REF}/ogbg-code/model/conv.py")
+        model_pkg.conv = conv
+        gnn2 = _load_as("ref_gnn2", f"{REF}/ogbg-code/model/gnn2.py")
+        asap = _load_as("ref_asap", f"{REF}/ogbg-code/model/asap.py")
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = old
+    return gnn2, asap, tgg
