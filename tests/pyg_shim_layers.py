@@ -113,9 +113,10 @@ class GraphConv(nn.Module):
             msg = msg * edge_weight.view(-1, 1)
         out = scatter_add(msg, dst, dim_size=n)
         if self.aggr == "mean":
-            w = (edge_weight if edge_weight is not None
-                 else torch.ones(src.shape[0]))
-            cnt = scatter_add(w, dst, dim_size=n).clamp(min=1)
+            # scatter-mean divides by the EDGE COUNT (messages are already
+            # edge-weighted), not by the weight sum
+            cnt = scatter_add(torch.ones(src.shape[0]), dst,
+                              dim_size=n).clamp(min=1)
             out = out / cnt.unsqueeze(-1)
         return self.lin_rel(out) + self.lin_root(x)
 
