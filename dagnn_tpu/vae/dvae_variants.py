@@ -336,7 +336,14 @@ def deepgmg_loss(params, cfg: DeepGMGConfig, types, adj_true, nv, rng,
             # which contribute a stop-BCE, models.py:1517-1525), then those
             # that added an edge last round
             in_loop = indeg >= k
-            H = _gmg_propagate(params, cfg, H, adj, count, params["grud"])
+            # the reference's while loop EXITS once no graph remains —
+            # iterations past the batch max in-degree never run, so their
+            # propagation must not mutate H (models.py:1516 `while
+            # graph_idx:`); gate batch-wide
+            entered = in_loop.any()
+            H_new = _gmg_propagate(params, cfg, H, adj, count,
+                                   params["grud"])
+            H = jnp.where(entered, H_new, H)
             Hg = _gmg_graph_state(params, cfg, H, count)
             Hv = H[:, v]
             add_logit = linear(params["add_edge"],

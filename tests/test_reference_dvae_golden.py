@@ -754,3 +754,56 @@ def test_original_deepgmg_encode_matches(ref_igraph_models, bidir):
                                atol=2e-5, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_original_deepgmg_loss_matches(ref_igraph_models):
+    """DVAE_DeepGMG teacher-forced DECODER loss (dvae/models.py:1484-1546)
+    — the last VAE-family member previously pinned only by invariance
+    tests. Executed quirks: the edge while-loop propagates Td rounds per
+    iteration and EXITS once no graph has edges left (iterations past the
+    batch max in-degree never run); padded graphs still contribute the
+    k=0 stop-BCE; predecessors are consumed via adjlist .pop() — last
+    inserted first (our data inserts ascending, so descending order)."""
+    from dagnn_tpu.vae.dvae_variants import (DeepGMGConfig, deepgmg_init,
+                                             deepgmg_encode, deepgmg_loss)
+    cfg = DeepGMGConfig(max_n=6, nvt=4, hs=10, nz=4, Te=2, Td=2)
+    rng = np.random.default_rng(79)
+
+    class _C:
+        max_n, nvt = cfg.max_n, cfg.nvt
+    graphs = _random_na_graphs(rng, _C, 5)
+    params = deepgmg_init(jax.random.PRNGKey(41), cfg)
+
+    tmodel = ref_igraph_models.DVAE_DeepGMG(
+        cfg.max_n, cfg.nvt, 0, 1, hs=cfg.hs, nz=cfg.nz,
+        bidirectional=False, Td=cfg.Td, Te=cfg.Te)
+    for t_ in range(cfg.Te):
+        _set_gru(tmodel.grue[t_], params["grue"][t_])
+    for t_ in range(cfg.Td):
+        _set_gru(tmodel.grud[t_], params["grud"][t_])
+    _set_lin(tmodel.fe, params["fe"])
+    _set_lin(tmodel.finit, params["finit"])
+    _set_lin(tmodel.fc1, params["fc1"])
+    _set_lin(tmodel.fc2, params["fc2"])
+    _set_lin(tmodel.fc3, params["fc3"])
+    _set_lin(tmodel.add_vertex[0], params["add_vertex"])
+    _set_lin(tmodel.add_edge[0], params["add_edge"])
+    _set_lin(tmodel.select_node[0], params["select_node"])
+    _set_lin(tmodel.gate[0], params["gate"])
+    _set_lin(tmodel.mapper[0], params["mapper"])
+    _set_lin(tmodel.gate_init[0], params["gate_init"])
+    _set_lin(tmodel.mapper_init[0], params["mapper_init"])
+    tmodel.eval()  # reparameterize -> mu (models.py:1402-1409)
+
+    igs = _fake_igraphs(graphs)
+    with torch.no_grad():
+        mu_t, logvar_t = tmodel.encode(igs)
+        igs2 = _fake_igraphs(graphs)
+        _, res_t, kld_t = tmodel.loss(mu_t, logvar_t, igs2)
+
+    types, adj, nv = na_dense_views(graphs, cfg.max_n)
+    _, recon, k_ = deepgmg_loss(
+        params, cfg, jnp.asarray(types), jnp.asarray(adj), jnp.asarray(nv),
+        jax.random.PRNGKey(0), training=False)
+    np.testing.assert_allclose(float(recon), float(res_t), rtol=2e-5)
+    np.testing.assert_allclose(float(k_), float(kld_t), rtol=2e-4)
