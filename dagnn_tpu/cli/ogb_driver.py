@@ -268,9 +268,24 @@ def make_step_fns(cfg, opt, task: str):
     @jax.jit
     def train_step(params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
+        # nonfinite-step guard (bf16 training): a transient overflow in
+        # one batch must not poison the parameters — skip the update and
+        # keep optimizer state unchanged for that step (the standard
+        # mixed-precision skip, torch GradScaler equivalent; observed
+        # once at emb 300 on the 160k-graph synthetic corpus)
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_params, params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "dtype") else new,
+            new_opt_state, opt_state)
+        return params, opt_state, jnp.where(finite, loss, jnp.nan), finite
 
     @jax.jit
     def predict(params, batch):
@@ -369,13 +384,20 @@ def run(args, task: str):
         for epoch in range(start_epoch, args.epochs + 1):
             t0 = time.time()
             losses = []
+            skipped = 0
             loader = mk_loader(train, True, args.seed + fold * 1000 + epoch)
             for batch in loader:
                 rng, k = jax.random.split(rng)
-                params, opt_state, loss = train_step_cache(
+                params, opt_state, loss, finite = train_step_cache(
                     cfg, opt, task)[0](params, opt_state,
                                        jax.tree.map(jnp.asarray, batch), k)
-                losses.append(float(loss))
+                lv = float(loss)
+                if np.isfinite(lv):
+                    losses.append(lv)
+                else:
+                    skipped += 1
+            if skipped:
+                print(f"  nonfinite-grad steps skipped: {skipped}")
             train_time = time.time() - t0
 
             predict = train_step_cache(cfg, opt, task)[1]
