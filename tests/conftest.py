@@ -47,3 +47,24 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if "tpu" in item.keywords:
                 item.add_marker(skip)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free accumulated XLA:CPU executables between test modules.
+
+    A single pytest process that accumulates ~200 XLA:CPU compilations
+    segfaults inside `backend_compile_and_load` on a later large scan
+    compile (faulthandler trace: LLVM JIT under pxla _cached_compilation;
+    the same compile passes standalone in any order, and it reproduces
+    with the axon remote-compile relay both on and off — an XLA:CPU
+    executable-accumulation issue, not this framework and not the relay).
+    Dropping the compiled-program caches between modules keeps the live
+    executable count bounded and lets the whole suite run in ONE process
+    (previously split in two by scripts/run_tests.sh).
+    """
+    yield
+    jax.clear_caches()
