@@ -111,6 +111,9 @@ class DAGBatch(NamedTuple):
     out_slots_mask_fwd: Optional[np.ndarray] = None  # [G, Om] bool
     out_slots_rev: Optional[np.ndarray] = None       # [G, Om] int32
     out_slots_mask_rev: Optional[np.ndarray] = None  # [G, Om] bool
+    # pair-scheduled wavefront plan (dag/pair.py; PadConfig.pair) — two
+    # rows per scan step with intra-pair edges routed in-kernel
+    pair: Optional[Any] = None
 
     @property
     def num_node_slots(self) -> int:
@@ -158,6 +161,10 @@ class PadConfig:
     # exact-fit collates (bench, single-config training); bucketed loaders
     # wanting stable shapes should keep it off.
     nearfar: Any = 0
+    # pair-scheduled wavefront (dag/pair.py): collate additionally builds
+    # a PairPlan fusing rows (2p, 2p+1) into one scan step. Requires even
+    # max_levels and plain schedules (nearfar off).
+    pair: int = 0
 
     @classmethod
     def for_graphs(
@@ -370,6 +377,13 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
     dst_flat[:e] = dst
     emask_flat[:e] = True
 
+    pair_plan = None
+    if pad.pair and build_schedules:
+        # pair-scheduled wavefront (dag/pair.py): needs even max_levels
+        # and plain (non-near/far) schedules
+        from dagnn_tpu.dag.pair import build_pair_plan
+        pair_plan = build_pair_plan(fwd, rev)
+
     graph_mask = np.zeros(G, dtype=bool)
     graph_mask[: len(graphs)] = True
 
@@ -411,6 +425,7 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         out_slots_mask_fwd=omasks["fwd"],
         out_slots_rev=oslots["rev"],
         out_slots_mask_rev=omasks["rev"],
+        pair=pair_plan,
     )
 
 

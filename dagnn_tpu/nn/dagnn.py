@@ -1064,6 +1064,161 @@ def _mwavefront_bwd(static, res, g):
 _mwavefront.defvjp(_mwavefront_fwd, _mwavefront_bwd)
 
 
+# ------------------------- pair-scheduled wavefront (two rows per step)
+#
+# Halves the scan-step count of the merged wavefront: one kernel call
+# executes rows 2p and 2p+1 with intra-pair edges routed in-kernel (see
+# dag/pair.py and ops/pallas/pair_step.py). Every per-step glue op the
+# profile blames (gather / DUS / transpose-grad gather / edge-grad DUS,
+# each latency-bound at 25-30% HBM peak) is issued half as often at twice
+# the size. State-buffer layout is IDENTICAL to the merged path, so the
+# readouts are unchanged.
+
+
+def pair_applicable(cfg: DAGNNConfig, batch: DAGBatch) -> bool:
+    return (getattr(batch, "pair", None) is not None
+            and not _NO_RES_STREAM
+            and cfg.bidirectional and _fused_applicable(cfg)
+            and batch.fwd.node_ids.shape == batch.rev.node_ids.shape)
+
+
+def _build_streams_pair(params, cfg: DAGNNConfig, x, edge_attr, batch):
+    plan = batch.pair
+    L, kn = batch.fwd.node_ids.shape
+    P = np.asarray(plan.node_ids).shape[0]
+    params2 = [{"aggr": params["aggr"][di], "cells": params["cells"][di]}
+               for di in range(2)]
+    if cfg.compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+        params2 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, params2)
+    fxs = {"x": x[jnp.asarray(plan.node_ids)]}
+    if cfg.w_edge_attr and edge_attr is not None and cfg.num_rels > 1:
+        fxs["ea"] = jnp.asarray(edge_attr)[jnp.asarray(plan.eid)].astype(
+            x.dtype)
+    ixs = {
+        "lvl": jnp.arange(P, dtype=jnp.int32),
+        "nmask": jnp.asarray(plan.node_mask),
+        "eslot": jnp.asarray(plan.eslot_v),
+        "edst": jnp.asarray(plan.edst),
+        "emask": jnp.asarray(plan.emask),
+        "nsrc": jnp.asarray(plan.nsrc),
+        "teslot": jnp.asarray(plan.teslot),
+        "tdst": jnp.asarray(plan.tdst),
+        "tmask": jnp.asarray(plan.tmask),
+    }
+    blocks = plan.blocks
+    U = plan.acc_unit
+    return params2, fxs, ixs, (P, kn, blocks, U)
+
+
+def _pfwd_step(static, params2, with_vals: bool = False):
+    cfg, P, kn, blocks, U = static
+
+    def step(h, xs):
+        from dagnn_tpu.ops.pallas.pair_step import fused_pair_forward
+        fxs, ixs = xs
+        offset = ixs["lvl"] * (4 * kn)
+        st = _fused_static(cfg, fxs)
+        vals = h[ixs["eslot"]]
+        out = fused_pair_forward(
+            st, jax.default_backend() != "tpu",
+            fxs["x"], vals, fxs.get("ea") if st[0] else None,
+            ixs["edst"], ixs["emask"], ixs["nmask"], ixs["nsrc"],
+            _mweights(cfg, params2, st[0]), blocks,
+            emit_res=with_vals)
+        if with_vals:
+            outs, *res = out
+            h = jax.lax.dynamic_update_slice(h, outs, (offset, 0))
+            return h, (vals, tuple(res))
+        h = jax.lax.dynamic_update_slice(h, out, (offset, 0))
+        return h, None
+
+    return step
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pwavefront(static, params2, fxs, ixs):
+    cfg, P, kn, blocks, U = static
+    h0 = jnp.zeros((P * 4 * kn + 1, cfg.num_layers * cfg.hidden_dim),
+                   fxs["x"].dtype)
+    h, _ = jax.lax.scan(_pfwd_step(static, params2), h0, (fxs, ixs),
+                        unroll=_SCAN_UNROLL)
+    return h
+
+
+def _pwavefront_fwd(static, params2, fxs, ixs):
+    cfg, P, kn, blocks, U = static
+    h0 = jnp.zeros((P * 4 * kn + 1, cfg.num_layers * cfg.hidden_dim),
+                   fxs["x"].dtype)
+    h, (vals_s, res_s) = jax.lax.scan(
+        _pfwd_step(static, params2, with_vals=True), h0, (fxs, ixs),
+        unroll=_SCAN_UNROLL)
+    return h, (params2, fxs, ixs, vals_s, res_s)
+
+
+def _pwavefront_bwd(static, res, g):
+    from dagnn_tpu.ops.pallas.pair_step import fused_pair_backward
+    from dagnn_tpu.ops.pallas.row_step import (
+        unflatten_row_weight_grads, _names as _row_names)
+    cfg, P, kn, blocks, U = static
+    params2, fxs, ixs, vals_s, res_s = res
+    st_sample = _fused_static(cfg, fxs)
+    has_ea = st_sample[0]
+    weights = _mweights(cfg, params2, has_ea)
+    interp = jax.default_backend() != "tpu"
+    lh = cfg.num_layers * cfg.hidden_dim
+
+    def bwd_step(carry, xs):
+        acc, dw_acc = carry
+        fxs_l, ixs_l, g_out, vals, res_l = xs
+        lvl = ixs_l["lvl"]
+        tg = jax.lax.optimization_barrier(acc[ixs_l["teslot"]])
+        dx, dvals, dea, dw = fused_pair_backward(
+            st_sample, interp, fxs_l["x"], vals,
+            fxs_l.get("ea") if has_ea else None,
+            ixs_l["edst"], ixs_l["emask"], ixs_l["nmask"], ixs_l["nsrc"],
+            weights, g_out, tg, ixs_l["tdst"], ixs_l["tmask"], res_l,
+            blocks)
+        dvals = jax.lax.optimization_barrier(dvals)
+        acc = jax.lax.dynamic_update_slice(acc, dvals, (lvl * U, 0))
+        dw_acc = jax.tree.map(jnp.add, dw_acc, dw)
+        dfl = {"x": dx}
+        if "ea" in fxs_l:
+            dfl["ea"] = (dea if dea is not None
+                         else jnp.zeros_like(fxs_l["ea"]))
+        return (acc, dw_acc), dfl
+
+    acc0 = jnp.zeros((P * U + 1, lh), g.dtype)
+    g_stream = g[: P * 4 * kn].reshape(P, 4 * kn, lh)
+    dw0 = {n: jnp.zeros_like(weights[n])
+           for n in _row_names(cfg.num_layers, has_ea)}
+    (_, dw_total), d_fxs = jax.lax.scan(
+        bwd_step, (acc0, dw0), (fxs, ixs, g_stream, vals_s, res_s),
+        reverse=True, unroll=_SCAN_UNROLL)
+    d_params2 = [
+        unflatten_row_weight_grads({k: v[di] for k, v in dw_total.items()},
+                                   cfg.num_layers, has_ea)
+        for di in range(2)
+    ]
+    d_ixs = jax.tree.map(lambda a: np.zeros(a.shape, jax.dtypes.float0), ixs)
+    return d_params2, d_fxs, d_ixs
+
+
+_pwavefront.defvjp(_pwavefront_fwd, _pwavefront_bwd)
+
+
+def pair_pass(params, cfg: DAGNNConfig, x, edge_attr, batch: DAGBatch):
+    """Both directions, two wavefront rows per scan step. Same return
+    layout as merged_pass (state buffer rows are untouched by pairing)."""
+    params2, fxs, ixs, (P, kn, blocks, U) = _build_streams_pair(
+        params, cfg, x, edge_attr, batch)
+    h = _pwavefront((cfg, P, kn, blocks, U), params2, fxs, ixs)
+    return h[: P * 4 * kn], fxs["x"].reshape(P * 4 * kn, -1)
+
+
 def merged_pass(params, cfg: DAGNNConfig, x, edge_attr, batch: DAGBatch):
     """Both direction passes in one scan. Returns (h_flat [L*2Kn, nl*H],
     x_flat [L*2Kn, emb]) in the MERGED level-sorted layout: row r holds
@@ -1143,7 +1298,9 @@ def dagnn_forward(
                    batch.extras.get("node_depth"))
         x = jnp.where(batch.node_mask[:, None], x, 0)
         merged = merged_applicable(cfg, batch)
-        if merged:
+        if merged and pair_applicable(cfg, batch):
+            h2, x2 = pair_pass(params, cfg, x, batch.edge_attr, batch)
+        elif merged:
             h2, x2 = merged_pass(params, cfg, x, batch.edge_attr, batch)
         parts = []
         for di, d in enumerate(cfg.dirs):
