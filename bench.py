@@ -33,8 +33,11 @@ import time
 # (v5e has 128MB physical VMEM; must be set before the first compile)
 _args = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "scoped_vmem" not in _args:
+    # the pair-scheduled kernels hold two rows of activations (--pair)
+    _kib = (65536 if ("--pair" in sys.argv or "--pair2" in sys.argv)
+            else 32768)
     os.environ["LIBTPU_INIT_ARGS"] = (
-        _args + " --xla_tpu_scoped_vmem_limit_kib=32768").strip()
+        _args + f" --xla_tpu_scoped_vmem_limit_kib={_kib}").strip()
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +128,20 @@ def main():
     cfg = ge._flagship_cfg()
     graphs = synthetic_ast_batch(0, 160, mean_nodes=125)
     pad = ge._pad_for(graphs)
+    if "--pair" in sys.argv or "--pair2" in sys.argv:
+        # pair-scheduled wavefront (dag/pair.py): two rows per scan step.
+        # --pair2 additionally packs rows pair-affine (more intra-pair
+        # edges); its widths differ from the measured base pad, so they
+        # are re-derived exactly and the row budget gets slack.
+        import dataclasses as _dc
+        if "--pair2" in sys.argv:
+            pad = _dc.replace(pad, pair=2, edges_per_level=None,
+                              tgrad_per_level=None,
+                              max_levels=pad.max_levels + 2
+                              + pad.max_levels % 2)
+        else:
+            pad = _dc.replace(pad, pair=1,
+                              max_levels=pad.max_levels + pad.max_levels % 2)
     batch = collate(graphs, pad)
     n_edges = int(batch.n_edge)
 

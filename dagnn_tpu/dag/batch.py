@@ -163,7 +163,9 @@ class PadConfig:
     nearfar: Any = 0
     # pair-scheduled wavefront (dag/pair.py): collate additionally builds
     # a PairPlan fusing rows (2p, 2p+1) into one scan step. Requires even
-    # max_levels and plain schedules (nearfar off).
+    # max_levels and plain schedules (nearfar off). 2 = additionally bias
+    # the row packer so more edges land inside pairs (pack_rows
+    # pair_affine; Python path — the native packer stays pop-identical).
     pair: int = 0
 
     @classmethod
@@ -327,10 +329,12 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         node_graph = graph_id[:n].astype(np.int64)
         slvl_f = _staggered(lvl_f[:n], node_graph, len(graphs),
                             pad.nodes_per_level, pad.edge_budget, dst,
-                            pad.stagger, rdepth=lvl_r[:n], msg_src=src)
+                            pad.stagger, rdepth=lvl_r[:n], msg_src=src,
+                            pair_affine=pad.pair >= 2)
         slvl_r = _staggered(lvl_r[:n], node_graph, len(graphs),
                             pad.nodes_per_level, pad.edge_budget, src,
-                            pad.stagger, rdepth=lvl_f[:n], msg_src=dst)
+                            pad.stagger, rdepth=lvl_f[:n], msg_src=dst,
+                            pair_affine=pad.pair >= 2)
         fwd = build_level_schedule(src, dst, slvl_f, n, **common)
         rev = build_level_schedule(dst, src, slvl_r, n, **nf_common)
     else:
@@ -434,7 +438,8 @@ def _padded_levels(levels: np.ndarray, n: int) -> np.ndarray:
 
 
 def _staggered(lvl, node_graph, n_graphs, chunk, edge_budget, msg_dst,
-               enabled, rdepth=None, msg_src=None) -> np.ndarray:
+               enabled, rdepth=None, msg_src=None,
+               pair_affine=False) -> np.ndarray:
     """Pack a direction's level array into scan rows.
 
     enabled=1: per-graph stagger offsets (schedule.stagger_offsets).
@@ -454,7 +459,7 @@ def _staggered(lvl, node_graph, n_graphs, chunk, edge_budget, msg_dst,
         import os
         tb = int(os.environ.get("DAGNN_TG_BUDGET", "0")) or edge_budget
         return pack_rows(lvl, rdepth, msg_src, msg_dst, chunk, edge_budget,
-                         tg_budget=tb)
+                         tg_budget=tb, pair_affine=pair_affine)
     if n_graphs <= 1:
         return lvl
     offs = stagger_offsets(lvl, node_graph, n_graphs, chunk,

@@ -53,11 +53,11 @@ from dagnn_tpu.dag.schedule import LevelSchedule
 class PairPlan(NamedTuple):
     """Merged pair-step arrays (all [P, ...], P = max_levels // 2).
 
-    Static block widths are encoded in ``bshape``'s dims (a zero-size
-    array — the established far_width trick, schedule.py:83-86 — so the
-    plan survives jax.tree.map(jnp.asarray, ...) and jit tracing):
-    bshape.shape = (KeA0, KeA1, KeB0, KeB1, KfB0, KfB1,
-                    KtA0, KtA1, KtB0, KtB1, 0).
+    Static block widths are encoded in ``bshape``: a TUPLE of ten
+    zero-size [w, 0] arrays (the established far_width trick,
+    schedule.py:83-86 — shape-encoded statics survive
+    jax.tree.map(jnp.asarray, ...) and jit tracing), in the order
+    (KeA0, KeA1, KeB0, KeB1, KfB0, KfB1, KtA0, KtA1, KtB0, KtB1).
     """
 
     edst: np.ndarray     # [P, W] int32 block-local target slot, pad = Kn
@@ -73,11 +73,11 @@ class PairPlan(NamedTuple):
     tmask: np.ndarray    # [P, T] bool
     node_ids: np.ndarray  # [P, 4Kn] int32 (x gather; = merged rows 2p,2p+1)
     node_mask: np.ndarray  # [P, 4Kn] bool
-    bshape: np.ndarray   # zero-size static-width sentinel (see class doc)
+    bshape: tuple        # zero-size static-width sentinels (see class doc)
 
     @property
     def widths(self):
-        s = self.bshape.shape
+        s = tuple(int(np.asarray(a).shape[0]) for a in self.bshape)
         return dict(keA=s[0:2], keB=s[2:4], kfB=s[4:6], ktA=s[6:8],
                     ktB=s[8:10])
 
@@ -252,7 +252,8 @@ def build_pair_plan(sf: LevelSchedule, sr: LevelSchedule) -> PairPlan:
     node_mask = cat([np.asarray(sf.node_mask), np.asarray(sr.node_mask)])
     node_mask = node_mask.reshape(P, 4 * Kn)
 
-    bshape = np.zeros(keA + keB + kfB + ktA + ktB + (0,), bool)
+    bshape = tuple(np.zeros((k, 0), bool)
+                   for k in keA + keB + kfB + ktA + ktB)
     return PairPlan(edst=edst.astype(np.int32), emask=emask,
                     eid=eid.astype(np.int32), nsrc=nsrc.astype(np.int32),
                     eslot_v=eslot_v.astype(np.int32),

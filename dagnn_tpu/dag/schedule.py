@@ -115,6 +115,7 @@ def pack_rows(
     kn: int,
     edge_budget: int,
     tg_budget: int = 0,
+    pair_affine: bool = False,
     _native: bool = True,
 ) -> np.ndarray:
     """Critical-path list scheduling: per-NODE scan-row assignment.
@@ -131,6 +132,14 @@ def pack_rows(
     node / ~0.95 edge fill vs 0.63/0.48 for per-graph stagger — scan rows
     drop 125 -> 82 and pad compute by ~35%.
 
+    pair_affine=True biases the fill of ODD rows toward nodes that became
+    ready during the previous row (i.e. nodes with >=1 predecessor in row
+    r-1): among equal remaining depth, those are taken first, so more
+    edges land INSIDE (2p, 2p+1) pairs where the pair-scheduled kernels
+    (dag/pair.py) route them in-kernel instead of through the state
+    buffer. Depth priority is preserved (near candidates win only ties),
+    so the critical-path bound on row count is unchanged.
+
     Returns [n] int64 row ids, usable as the `level` input of
     build_level_schedule (it satisfies the same precedence invariant).
     """
@@ -146,7 +155,7 @@ def pack_rows(
     # native fast path (csrc/dagcore.cpp dag_pack_rows): identical pop
     # order and stash bound — the heap loop dominates host collation
     # at production batch sizes otherwise (~60ms/direction at TOK shapes)
-    if _native:
+    if _native and not pair_affine:
         from dagnn_tpu.dag.native import native_pack_rows
         out = native_pack_rows(rdepth, msg_src, msg_dst, n, kn,
                                edge_budget, tg_budget)
@@ -174,12 +183,24 @@ def pack_rows(
     r = 0
     placed = 0
     while placed < n:
-        for u in pending.pop(r, ()):
-            heapq.heappush(ready, (-int(rdepth[u]), u))
+        drained = pending.pop(r, ())
+        near: list = []
+        if pair_affine and r % 2 == 1:
+            # nodes readied during row r-1 have >=1 predecessor there —
+            # the intra-pair candidates; kept in their own heap so they
+            # win depth TIES against older ready nodes
+            near = [(-int(rdepth[u]), u) for u in drained]
+            heapq.heapify(near)
+        else:
+            for u in drained:
+                heapq.heappush(ready, (-int(rdepth[u]), u))
         nc = ec = tc = 0
         stash = []
-        while ready and nc < kn:
-            pri, u = heapq.heappop(ready)
+        while (ready or near) and nc < kn:
+            if near and (not ready or near[0][0] <= ready[0][0]):
+                pri, u = heapq.heappop(near)
+            else:
+                pri, u = heapq.heappop(ready)
             if (ec + indeg[u] > edge_budget
                     or (tg_budget and tc + outdeg[u] > tg_budget)):
                 # over budget for THIS row; retry next row (bounded probe
@@ -199,6 +220,8 @@ def pack_rows(
                 if npreds[v] == 0:
                     pending.setdefault(r + 1, []).append(v)
         for it in stash:
+            heapq.heappush(ready, it)
+        for it in near:
             heapq.heappush(ready, it)
         r += 1
     return row

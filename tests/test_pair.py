@@ -78,27 +78,38 @@ def test_pair_plan_invariants():
 
 
 def test_pair_matches_merged_forward_and_grads():
+    """pair=1 (pair plan on the standard packing) and pair=2 (pair-affine
+    row packer, a different but equally valid antichain packing) must both
+    reproduce the per-row merged path's forward and gradients."""
     graphs = _graphs()
     pad0, padp = _pads(graphs)
     b0 = collate(graphs, pad0)
-    b1 = collate(graphs, padp)
     cfg = _cfg()
-    assert pair_applicable(cfg, b1) and not pair_applicable(cfg, b0)
+    assert not pair_applicable(cfg, b0)
     params = dagnn_init(jax.random.PRNGKey(0), cfg)
     o0 = dagnn_forward(params, cfg, b0)
-    o1 = dagnn_forward(params, cfg, b1)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
-                               rtol=2e-5, atol=2e-5)
 
     def loss(p, b):
         return jnp.sum(dagnn_forward(p, cfg, b) ** 2)
 
     g0 = jax.grad(loss)(params, b0)
-    g1 = jax.grad(loss)(params, b1)
-    jax.tree.map(
-        lambda a, c: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5),
-        g1, g0)
+    for pair in (1, 2):
+        b1 = collate(graphs, dataclasses.replace(
+            padp, pair=pair,
+            # pair-affine packing can shift per-row maxima; re-derive
+            # exact widths for pair=2
+            **({"edges_per_level": None, "tgrad_per_level": None}
+               if pair == 2 else {})))
+        assert pair_applicable(cfg, b1)
+        o1 = dagnn_forward(params, cfg, b1)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"pair={pair}")
+        g1 = jax.grad(loss)(params, b1)
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5),
+            g1, g0)
 
 
 def test_pair_matches_plain_bf16_and_no_ea():
