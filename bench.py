@@ -33,9 +33,11 @@ import time
 # (v5e has 128MB physical VMEM; must be set before the first compile)
 _args = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "scoped_vmem" not in _args:
-    # the pair-scheduled kernels hold two rows of activations (--pair)
-    _kib = (65536 if ("--pair" in sys.argv or "--pair2" in sys.argv)
-            else 32768)
+    # pair kernels (the default) need ~32.3MB scoped (two rows of ctx;
+    # the backward reconstructs per block to stay this low) — 36MB keeps
+    # margin while avoiding the global buffer-assignment regression a
+    # 64MB limit causes (A/B: plain at 64MB ran 18.0 vs 16.2ms/step)
+    _kib = 32768 if "--nopair" in sys.argv else 36864
     os.environ["LIBTPU_INIT_ARGS"] = (
         _args + f" --xla_tpu_scoped_vmem_limit_kib={_kib}").strip()
 
@@ -67,6 +69,13 @@ def _roofline(cfg, batch, dt, n_params):
     L, Kn = batch.fwd.node_ids.shape
     Ke = batch.fwd.edge_src.shape[1]
     Kt = batch.fwd.tgrad_eslot.shape[1]
+    if getattr(batch, "pair", None) is not None:
+        # pair layout: the plan's per-PAIR widths, expressed as equivalent
+        # per-row-per-direction widths for the census below (L stays the
+        # row count = 2 * pairs; the sequential unit is L/2 pair steps)
+        plan = batch.pair
+        Ke = plan.edst.shape[1] / (2 * dirs)
+        Kt = plan.teslot.shape[1] / (2 * dirs)
     G, S, V = batch.y["y_arr"].shape[0], cfg.max_seq_len, cfg.num_vocab
 
     def gru_flops(units):
@@ -128,20 +137,15 @@ def main():
     cfg = ge._flagship_cfg()
     graphs = synthetic_ast_batch(0, 160, mean_nodes=125)
     pad = ge._pad_for(graphs)
-    if "--pair" in sys.argv or "--pair2" in sys.argv:
-        # pair-scheduled wavefront (dag/pair.py): two rows per scan step.
-        # --pair2 additionally packs rows pair-affine (more intra-pair
-        # edges); its widths differ from the measured base pad, so they
-        # are re-derived exactly and the row budget gets slack.
+    if "--nopair" not in sys.argv:
+        # DEFAULT: pair-scheduled wavefront (dag/pair.py) with the
+        # pair-affine row packer — two rows per scan step, intra-pair
+        # edges routed in-kernel. v5e A/B (quiet host, this config):
+        # plain 1.86M / pair-plan-only 1.94M / pair-affine 1.99M edges/s.
+        # --pair1 selects plan-only; --nopair the per-row merged path.
         import dataclasses as _dc
-        if "--pair2" in sys.argv:
-            pad = _dc.replace(pad, pair=2, edges_per_level=None,
-                              tgrad_per_level=None,
-                              max_levels=pad.max_levels + 2
-                              + pad.max_levels % 2)
-        else:
-            pad = _dc.replace(pad, pair=1,
-                              max_levels=pad.max_levels + pad.max_levels % 2)
+        pad = _dc.replace(pad, pair=1 if "--pair1" in sys.argv else 2,
+                          max_levels=pad.max_levels + pad.max_levels % 2)
     batch = collate(graphs, pad)
     n_edges = int(batch.n_edge)
 

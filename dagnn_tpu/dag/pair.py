@@ -77,7 +77,8 @@ class PairPlan(NamedTuple):
 
     @property
     def widths(self):
-        s = tuple(int(np.asarray(a).shape[0]) for a in self.bshape)
+        # .shape only — the plan's leaves may be jit tracers
+        s = tuple(int(a.shape[0]) for a in self.bshape)
         return dict(keA=s[0:2], keB=s[2:4], kfB=s[4:6], ktA=s[6:8],
                     ktB=s[8:10])
 

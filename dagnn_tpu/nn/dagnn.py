@@ -1085,7 +1085,7 @@ def pair_applicable(cfg: DAGNNConfig, batch: DAGBatch) -> bool:
 def _build_streams_pair(params, cfg: DAGNNConfig, x, edge_attr, batch):
     plan = batch.pair
     L, kn = batch.fwd.node_ids.shape
-    P = np.asarray(plan.node_ids).shape[0]
+    P = plan.node_ids.shape[0]      # .shape only: leaves may be tracers
     params2 = [{"aggr": params["aggr"][di], "cells": params["cells"][di]}
                for di in range(2)]
     if cfg.compute_dtype == "bfloat16":

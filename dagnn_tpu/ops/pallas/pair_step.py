@@ -117,18 +117,19 @@ def _pair_bwd_kernel(static, names, refs):
     dt = vals_ref.dtype
     offs = _block_offsets(blocks)
 
-    # ---- phase 1: forward-order reconstruction from the residual streams
-    # (A blocks' rebuilt outputs feed the B blocks' vals rebuild, exactly
-    # like the forward — bitwise, tested)
-    ctx = []
-    outs_packed = {}
-    for bi, (mode, d, eo, ked, vo, kvd, _to, _ktd) in enumerate(offs):
+    def _reconstruct(bi, outs_packed, keep_ctx):
+        """Rebuild one block's forward from the residual streams (bitwise
+        the forward's values). keep_ctx=False returns only the layer-packed
+        outputs (cheap: h_n matmul + gate combine per layer) — used to get
+        the A outputs without holding the full context, so only ONE
+        block's context is ever live (scoped-VMEM diet: 51MB -> fits the
+        32MB default budget)."""
+        mode, d, eo, ked, vo, kvd, _to, _ktd = offs[bi]
         wsel = lambda nm: wref[nm][d]
         ns, es = slice(bi * kn, (bi + 1) * kn), slice(eo, eo + ked)
         ea = ea_ref[es, :] if has_ea else None
         emask = emask_ref[es, :]
         nmask = nmask_ref[ns, :]
-        Pm, P = _build_P(edst_ref[es, :], emask, kn, dt)
         if mode == "q":
             vals = _nf_rebuild_vals(vals_ref[vo:vo + kvd, :],
                                     nsrc_ref[eo + kvd:eo + ked, :],
@@ -139,44 +140,53 @@ def _pair_bwd_kernel(static, names, refs):
         q = cur
         curs, qs, resids, aggps, cellps, louts = [], [], [], [], [], []
         for l in range(nlayers):
-            aggp = {k: wsel(f"a{l}_{k}") for k in agg_keys(has_ea, rows=True)}
-            aggps.append(aggp)
-            cellps.append({k: wsel(f"c{l}_{k}") for k in CELL_KEYS})
-            curs.append(cur)
-            qs.append(q)
-            k_l = vals[:, l * hdim:(l + 1) * hdim]
-            if has_ea:
-                k_l = (k_l.astype(_F32) + _dg(ea, aggp["we"], 1, 1)
-                       + aggp["be"].astype(_F32)).astype(dt)
-            alpha32 = a32_ref[es, l:l + 1]
             agg, r, z, n = (
                 nres_ref[ns, (4 * l + i) * hdim:(4 * l + i + 1) * hdim]
                 for i in range(4))
-            h_n = (_dg(agg, wsel(f"c{l}_w_hn"), 1, 1)
-                   + wsel(f"c{l}_b_hn").astype(_F32)).astype(dt)
-            resids.append((k_l, alpha32.astype(dt), alpha32, agg, r, z, n,
-                           h_n))
+            if keep_ctx:
+                aggp = {k: wsel(f"a{l}_{k}")
+                        for k in agg_keys(has_ea, rows=True)}
+                aggps.append(aggp)
+                cellps.append({k: wsel(f"c{l}_{k}") for k in CELL_KEYS})
+                curs.append(cur)
+                qs.append(q)
+                k_l = vals[:, l * hdim:(l + 1) * hdim]
+                if has_ea:
+                    k_l = (k_l.astype(_F32) + _dg(ea, aggp["we"], 1, 1)
+                           + aggp["be"].astype(_F32)).astype(dt)
+                alpha32 = a32_ref[es, l:l + 1]
+                h_n = (_dg(agg, wsel(f"c{l}_w_hn"), 1, 1)
+                       + wsel(f"c{l}_b_hn").astype(_F32)).astype(dt)
+                resids.append((k_l, alpha32.astype(dt), alpha32, agg, r, z,
+                               n, h_n))
             out = (((1.0 - z.astype(_F32)) * n.astype(_F32)
                     + z.astype(_F32) * agg.astype(_F32)) * nmask).astype(dt)
             louts.append(out)
             cur = out
             q = out
-        if mode == "p":
-            outs_packed[d] = jnp.concatenate(louts, axis=1)
-        ctx.append((vals, ea, emask, nmask, P, Pm, curs, qs, resids,
-                    aggps, cellps))
+        if not keep_ctx:
+            return jnp.concatenate(louts, axis=1)
+        Pm, P = _build_P(edst_ref[es, :], emask, kn, dt)
+        return (vals, ea, emask, nmask, P, Pm, curs, qs, resids, aggps,
+                cellps)
 
-    # ---- phase 2: reverse-order gradients. B blocks run first; their
-    # intra-pair edge gradients land in g_extra[dir], consumed by the
-    # same-direction A block below.
+    # A blocks' layer-packed outputs (feed the B blocks' vals rebuild) —
+    # outputs only, contexts are rebuilt per block inside the reverse loop
+    outs_packed = {blocks[bi][1]: _reconstruct(bi, None, False)
+                   for bi in range(len(blocks)) if blocks[bi][0] == "p"}
+
+    # ---- reverse-order gradients. B blocks run first; their intra-pair
+    # edge gradients land in g_extra[dir], consumed by the same-direction
+    # A block below. Each block's forward context is reconstructed HERE
+    # (A blocks' cheap output reconstruction thus runs twice) and dies
+    # with the iteration.
     g_extra = {}
-    dw_acc = {}
     for bi in range(len(blocks) - 1, -1, -1):
         mode, d, eo, ked, vo, kvd, to, ktd = offs[bi]
         ns, es = slice(bi * kn, (bi + 1) * kn), slice(eo, eo + ked)
         ts = slice(to, to + ktd)
         (vals, ea, emask, nmask, P, Pm, curs, qs, resids, aggps,
-         cellps) = ctx[bi]
+         cellps) = _reconstruct(bi, outs_packed, True)
 
         # incoming transpose-edge gradients (one-hot MXU segment sum over
         # the whole layer-packed width), plus — for A blocks — the B
@@ -215,12 +225,17 @@ def _pair_bwd_kernel(static, names, refs):
             else:
                 dvals_ref[vo:vo + kvd, l * hdim:(l + 1) * hdim] = (
                     dval.astype(dvals_ref.dtype))
-            for k, v in daggp.items():
-                dw_acc[(d, f"a{l}_{k}")] = (
-                    dw_acc.get((d, f"a{l}_{k}"), 0.0) + v)
-            for k, v in dcell.items():
-                dw_acc[(d, f"c{l}_{k}")] = (
-                    dw_acc.get((d, f"c{l}_{k}"), 0.0) + v)
+            # weight grads: the q block (visited first in reverse order)
+            # WRITES its direction's refs, the p block ACCUMULATES into
+            # them — no cross-iteration f32 accumulator dict stays live
+            # (scoped-VMEM diet)
+            for k, v in list(daggp.items()) + list(dcell.items()):
+                nm = (f"a{l}_{k}" if k in daggp else f"c{l}_{k}")
+                ref = dwrefs[nm]
+                if mode == "q":
+                    ref[d] = v.astype(ref.dtype)
+                else:
+                    ref[d] = ref[d] + v.astype(ref.dtype)
             if dea_l is not None:
                 dea_acc = dea_acc + dea_l.astype(_F32)
             g_next = dcur + dq
@@ -234,9 +249,6 @@ def _pair_bwd_kernel(static, names, refs):
             dea_ref[es, :] = jnp.zeros((ked, dea_ref.shape[1]),
                                        dea_ref.dtype)
 
-    for (d, nm), v in dw_acc.items():
-        ref = dwrefs[nm]
-        ref[d] = v.astype(ref.dtype)
 
 
 def fused_pair_forward(static, interpret, xin, vals, ea, edst, emask, nmask,
