@@ -1175,7 +1175,15 @@ def _pwavefront_bwd(static, res, g):
         acc, dw_acc = carry
         fxs_l, ixs_l, g_out, vals, res_l = xs
         lvl = ixs_l["lvl"]
-        tg = jax.lax.optimization_barrier(acc[ixs_l["teslot"]])
+        if os.environ.get("DAGNN_PAIR_TG_SPLIT"):
+            # A/B knob: two half gathers from the edge-grad buffer (the
+            # per-row merged path measured split > single on v5e)
+            kt2 = ixs_l["teslot"].shape[0] // 2
+            tg = jnp.concatenate([acc[ixs_l["teslot"][:kt2]],
+                                  acc[ixs_l["teslot"][kt2:]]])
+            tg = jax.lax.optimization_barrier(tg)
+        else:
+            tg = jax.lax.optimization_barrier(acc[ixs_l["teslot"]])
         dx, dvals, dea, dw = fused_pair_backward(
             st_sample, interp, fxs_l["x"], vals,
             fxs_l.get("ea") if has_ea else None,
