@@ -144,7 +144,11 @@ def main():
         # plain 1.86M / pair-plan-only 1.94M / pair-affine 1.99M edges/s.
         # --pair1 selects plan-only; --nopair the per-row merged path.
         import dataclasses as _dc
-        pad = _dc.replace(pad, pair=1 if "--pair1" in sys.argv else 2,
+        pm = 2
+        for a in sys.argv:
+            if a.startswith("--pair") and a[6:].isdigit():
+                pm = int(a[6:])
+        pad = _dc.replace(pad, pair=pm,
                           max_levels=pad.max_levels + pad.max_levels % 2)
     batch = collate(graphs, pad)
     n_edges = int(batch.n_edge)
@@ -170,10 +174,13 @@ def main():
     # lax.fori_loop variant measured 0.37x in round 2 because XLA loses
     # the in-place state-buffer updates through the loop carry; inline
     # chaining keeps every buffer reuse intact.
+    n_chain = int(os.environ.get("DAGNN_BENCH_STEPS", "2"))
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step2(p, s, b):
-        p, s, _ = one_step(p, s, b)
-        p, s, loss = one_step(p, s, b)
+        loss = None
+        for _ in range(n_chain):
+            p, s, loss = one_step(p, s, b)
         return p, s, loss
 
     batch = jax.tree.map(jnp.asarray, batch)
@@ -181,15 +188,15 @@ def main():
     params, opt_state, loss = step2(params, opt_state, batch)
     jax.block_until_ready(loss)
 
-    iters = 8
+    iters = 16 // n_chain
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step2(params, opt_state, batch)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    edges_per_s = n_edges * 2 * iters / dt
-    dt = dt / 2  # per-step for the roofline accounting
+    edges_per_s = n_edges * n_chain * iters / dt
+    dt = dt / n_chain  # per-step for the roofline accounting
     print(json.dumps({
         "metric": "edges_per_s_per_chip_fwdbwd",
         "value": round(edges_per_s, 1),

@@ -165,7 +165,10 @@ class PadConfig:
     # a PairPlan fusing rows (2p, 2p+1) into one scan step. Requires even
     # max_levels and plain schedules (nearfar off). 2 = additionally bias
     # the row packer so more edges land inside pairs (pack_rows
-    # pair_affine; Python path — the native packer stays pop-identical).
+    # pair_affine, depth-tie preference; Python path — the native packer
+    # stays pop-identical). 3+ = allow intra-pair candidates up to
+    # (pair-2) levels shallower than the deepest ready node (can add scan
+    # rows on adversarial profiles — check the row count).
     pair: int = 0
 
     @classmethod
@@ -330,11 +333,11 @@ def collate(graphs: Sequence[DAGGraph], pad: Optional[PadConfig] = None,
         slvl_f = _staggered(lvl_f[:n], node_graph, len(graphs),
                             pad.nodes_per_level, pad.edge_budget, dst,
                             pad.stagger, rdepth=lvl_r[:n], msg_src=src,
-                            pair_affine=pad.pair >= 2)
+                            pair_affine=max(pad.pair - 1, 0))
         slvl_r = _staggered(lvl_r[:n], node_graph, len(graphs),
                             pad.nodes_per_level, pad.edge_budget, src,
                             pad.stagger, rdepth=lvl_f[:n], msg_src=dst,
-                            pair_affine=pad.pair >= 2)
+                            pair_affine=max(pad.pair - 1, 0))
         fwd = build_level_schedule(src, dst, slvl_f, n, **common)
         rev = build_level_schedule(dst, src, slvl_r, n, **nf_common)
     else:

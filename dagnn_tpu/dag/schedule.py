@@ -132,13 +132,16 @@ def pack_rows(
     node / ~0.95 edge fill vs 0.63/0.48 for per-graph stagger — scan rows
     drop 125 -> 82 and pad compute by ~35%.
 
-    pair_affine=True biases the fill of ODD rows toward nodes that became
+    pair_affine biases the fill of ODD rows toward nodes that became
     ready during the previous row (i.e. nodes with >=1 predecessor in row
-    r-1): among equal remaining depth, those are taken first, so more
+    r-1): those are taken first among equal remaining depth, so more
     edges land INSIDE (2p, 2p+1) pairs where the pair-scheduled kernels
     (dag/pair.py) route them in-kernel instead of through the state
-    buffer. Depth priority is preserved (near candidates win only ties),
-    so the critical-path bound on row count is unchanged.
+    buffer. True/1 = near candidates win only depth TIES (critical-path
+    row bound provably unchanged); an int > 1 allows near candidates up
+    to `pair_affine - 1` levels SHALLOWER than the deepest ready node
+    (can add rows on adversarial depth profiles — callers should check
+    the resulting row count and fall back).
 
     Returns [n] int64 row ids, usable as the `level` input of
     build_level_schedule (it satisfies the same precedence invariant).
@@ -196,8 +199,9 @@ def pack_rows(
                 heapq.heappush(ready, (-int(rdepth[u]), u))
         nc = ec = tc = 0
         stash = []
+        slack = max(int(pair_affine) - 1, 0)
         while (ready or near) and nc < kn:
-            if near and (not ready or near[0][0] <= ready[0][0]):
+            if near and (not ready or near[0][0] <= ready[0][0] + slack):
                 pri, u = heapq.heappop(near)
             else:
                 pri, u = heapq.heappop(ready)

@@ -93,13 +93,13 @@ def test_pair_matches_merged_forward_and_grads():
         return jnp.sum(dagnn_forward(p, cfg, b) ** 2)
 
     g0 = jax.grad(loss)(params, b0)
-    for pair in (1, 2):
+    for pair in (1, 2, 3):
         b1 = collate(graphs, dataclasses.replace(
             padp, pair=pair,
             # pair-affine packing can shift per-row maxima; re-derive
-            # exact widths for pair=2
+            # exact widths for the affine modes
             **({"edges_per_level": None, "tgrad_per_level": None}
-               if pair == 2 else {})))
+               if pair >= 2 else {})))
         assert pair_applicable(cfg, b1)
         o1 = dagnn_forward(params, cfg, b1)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
